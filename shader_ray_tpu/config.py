@@ -1,0 +1,91 @@
+"""Configuration for scene build and render.
+
+The reference scatters knobs over three tiers (SURVEY.md section 5.6):
+argv, env vars read in __attribute__((constructor)) initializers
+(reference bvh.cpp:60-79, trisrc-support.cpp:29-40, ray.cpp:360-364),
+and compile-time constants (raytracer.es.fs:380-384,550; ray.cpp:326).
+Here they live in one dataclass; the env-var names are preserved
+verbatim so existing workflows port unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _env_int(name: str, default: int) -> int:
+    v = os.environ.get(name)
+    return int(v) if v is not None else default
+
+
+def _env_float(name: str, default: float) -> float:
+    v = os.environ.get(name)
+    return float(v) if v is not None else default
+
+
+@dataclasses.dataclass
+class Config:
+    # --- BVH build knobs (reference bvh.cpp:28,32,57-58; env 60-79) ---
+    bvh_leaf_max: int = 10          # leaf size at/below which a leaf is made
+    bvh_max_depth: int = 30         # no nodes below this depth
+    sah_ctrav: float = 1.0          # SAH traversal cost
+    sah_cisec: float = 4.0          # SAH intersection cost
+
+    # --- loader knobs (reference trisrc-support.cpp:24-40) ---
+    colors_are_linear: bool = False  # skip pow(c, 2.63) gamma decode
+    geometry_scale: float = 1.0      # positions scaled at parse time
+    screen_gamma: float = 2.63       # reference trisrc-support.cpp:24
+
+    # --- render kernel constants (reference raytracer.es.fs) ---
+    bounce_count: int = 3            # fs:550
+    max_bvh_iterations: int = 400    # fs:381 (node visits per traversal)
+    max_leaf_tests: int = 10         # fs:382 (triangle tests per leaf visit)
+    cast_shadows: bool = True        # fs:445
+    use_filmic: bool = True          # fs:524
+    do_tonemap: bool = True          # fs:525
+    mt_epsilon: float = 1e-7         # Moller-Trumbore det epsilon, fs:312
+    infinitely_far: float = 1e7      # fs:115
+    surface_fudge: float = 1e-4      # reflect origin offset, fs:87
+
+    # --- app defaults (reference ray.cpp) ---
+    window_width: int = 512          # ray.cpp:969
+    window_height: int = 512
+    fov_degrees: float = 40.0        # ray.cpp:1078
+
+    # --- TPU engine knobs (new; no reference analog) ---
+    engine: str = "auto"             # "jax" | "pallas" | "auto"
+    ray_tile: int = 2048             # rays per Pallas grid step
+    scene_cache: bool = True         # cache compiled scenes (SURVEY 5.4)
+    use_native: str = "auto"         # "auto" | "never" | "require" C++ libscene
+
+    @staticmethod
+    def from_env() -> "Config":
+        c = Config()
+        c.bvh_max_depth = _env_int("BVH_MAX_DEPTH", c.bvh_max_depth)
+        c.bvh_leaf_max = _env_int("BVH_LEAF_MAX", c.bvh_leaf_max)
+        c.sah_ctrav = _env_float("SAH_CTRAV", c.sah_ctrav)
+        c.sah_cisec = _env_float("SAH_CISEC", c.sah_cisec)
+        c.colors_are_linear = os.environ.get("COLORS_ARE_LINEAR") is not None
+        c.geometry_scale = _env_float("GEOMETRY_SCALE", c.geometry_scale)
+        if os.environ.get("SRT_ENGINE"):
+            c.engine = os.environ["SRT_ENGINE"]
+        if os.environ.get("SRT_NATIVE"):
+            c.use_native = os.environ["SRT_NATIVE"]
+        return c
+
+
+_config: Config | None = None
+
+
+def get_config() -> Config:
+    """Process-wide config, initialized from env on first use."""
+    global _config
+    if _config is None:
+        _config = Config.from_env()
+    return _config
+
+
+def set_config(c: Config) -> None:
+    global _config
+    _config = c

@@ -1,0 +1,20 @@
+"""Test harness config: force an 8-virtual-device CPU mesh so sharding
+tests run without TPU hardware (SURVEY.md section 4: shard-count
+invariance is validated on xla_force_host_platform_device_count)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
