@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Headline benchmark: Mrays/s on a bunny-class scene.
+
+Workload mirrors the reference's canonical frame (SURVEY.md section 6):
+~69k-triangle mesh (bunny-class; the bunny.trisrc asset lives in an
+external repo we cannot fetch) + HDR lat-long environment, 3 bounces +
+3 hard-shadow rays per pixel (raytracer.es.fs:550,445), filmic tonemap,
+at the driver north-star resolution 1024x768 on one chip.
+
+Ray accounting matches BASELINE.md's derivation: W*H*(3 bounce +
+3 shadow) potential rays per frame; time is the median of timed frames
+after a compile + warmup pass.
+
+Prints ONE JSON line:
+  {"metric": "mrays_per_s", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+vs_baseline is value / 200 (the >=200 Mrays/s/chip v5e target —
+the reference itself publishes no numbers, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+WIDTH = int(os.environ.get("BENCH_WIDTH", "1024"))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", "768"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "10"))
+TARGET_MRAYS = 200.0
+
+
+def build_scene():
+    from shader_ray_tpu.models.fixtures import bunny_class_scene, procedural_sky
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import get_shader_data, make_world
+    from shader_ray_tpu.ops.scene import upload_scene
+    from shader_ray_tpu.utils.cache import cached_scene_data
+
+    def builder():
+        pos, _ = bunny_class_scene(69000)
+        ts = TriangleSet.from_arrays(pos)
+        world = make_world(ts)
+        return get_shader_data(world)
+
+    data = cached_scene_data("bench-bunny-class-69k", builder, verbose=True)
+    return upload_scene(data, procedural_sky(2048)), data
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from shader_ray_tpu.ops.render import (
+        RenderStatics,
+        default_frame_params,
+        make_render_fn,
+    )
+    from shader_ray_tpu.utils import mat4
+
+    backend = jax.default_backend()
+    print(f"backend: {backend}, devices: {jax.devices()}", file=sys.stderr)
+
+    scene, data = build_scene()
+    print(
+        f"scene: {data.triangle_count} tris, {data.group_count} bvh nodes",
+        file=sys.stderr,
+    )
+
+    statics = RenderStatics(
+        width=WIDTH,
+        height=HEIGHT,
+        tile_size=int(os.environ.get("BENCH_TILE", "65536")),
+    )
+    # camera framing like the reference default: zoom = extent/2/sin(fov/2)
+    # (ray.cpp:1079); the bunny-class sphere has extent ~2.5
+    fov = np.deg2rad(40.0)
+    zoom = 2.6 / 2.0 / np.sin(fov / 2.0)
+    cam = mat4.make_translation(0.0, 0.0, zoom).astype(np.float32)
+    params = default_frame_params(fov=fov)._replace(
+        camera_matrix=jnp.asarray(cam),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.2, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.05, 0.05, 0.05], np.float32)),
+    )
+
+    fn = make_render_fn(scene, statics)
+
+    t0 = time.perf_counter()
+    img = fn(params)
+    img.block_until_ready()
+    print(f"compile+first frame: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    fn(params).block_until_ready()  # warm
+
+    times = []
+    for _ in range(FRAMES):
+        t0 = time.perf_counter()
+        fn(params).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+
+    rays = WIDTH * HEIGHT * 6  # 3 bounce + 3 shadow (BASELINE.md accounting)
+    mrays = rays / t / 1e6
+    print(
+        f"frame: {t * 1e3:.2f} ms median over {FRAMES} "
+        f"(min {min(times) * 1e3:.2f}, max {max(times) * 1e3:.2f})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "mrays_per_s",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,278 @@
+"""Interaction state machine + frame dispatch.
+
+The TPU-native counterpart of the reference's GLFW app state
+(ray.cpp:719-943, 1076-1148): the same keyboard/mouse semantics drive
+a jitted frame function instead of a GL draw.  Damage-driven exactly
+like the reference (`redraw_window` flag, ray.cpp:1132-1142): state
+changes mark the frame dirty; ``render()`` recomputes only then.
+
+Per-frame dynamic state (matrices, light, material colors, fov) feeds
+the jitted function as traced arguments, so no interaction path ever
+recompiles — matching the GL program compiled once at init
+(ray.cpp:408-433) with uniforms set per draw (ray.cpp:648-704).
+Changing ``which`` (debug render mode) swaps to a differently-shaped
+program, so it jits per mode — the cache below keeps each compiled
+mode alive.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from enum import Enum
+
+import jax.numpy as jnp
+import numpy as np
+
+from shader_ray_tpu.app import camera as cam
+from shader_ray_tpu.app.materials import DIFFUSE_COLORS, MATERIALS, resolve_material
+from shader_ray_tpu.config import Config, get_config
+from shader_ray_tpu.models.world import World
+from shader_ray_tpu.ops.render import FrameParams, RenderStatics, make_render_fn
+from shader_ray_tpu.ops.scene import DeviceScene
+from shader_ray_tpu.utils import mat4
+from shader_ray_tpu.utils.ppm import write_ppm
+
+
+class MotionTarget(Enum):
+    """What a mouse drag moves (reference enum ray.cpp:724-727)."""
+
+    OBJECT = 0
+    LIGHT = 1
+
+
+class App:
+    def __init__(
+        self,
+        world: World,
+        scene: DeviceScene,
+        config: Config | None = None,
+        width: int | None = None,
+        height: int | None = None,
+        mesh=None,
+    ) -> None:
+        cfg = config or get_config()
+        self.cfg = cfg
+        self.world = world
+        self.scene = scene
+        self.mesh = mesh
+        self.width = width or cfg.window_width
+        self.height = height or cfg.window_height
+
+        # interaction state (reference globals, ray.cpp:35-74,724-727)
+        self.fov = mat4.to_radians(cfg.fov_degrees)
+        self.zoom = cam.initial_zoom(world.scene_extent, self.fov)
+        self.object_rotation = np.zeros(4, dtype=np.float32)
+        self.object_position = np.zeros(3, dtype=np.float32)
+        self.light_rotation = cam.initial_light_rotation()
+        self.light_dir = np.zeros(3, dtype=np.float32)
+        self.which = 0
+        self.which_material = 0
+        self.which_diffuse_color = 0
+        self.motion_target = MotionTarget.OBJECT
+        self.redraw = True
+        self.quit = False
+        self.do_benchmark = False
+
+        # mouse state (ray.cpp:862-918)
+        self._button_pressed = False
+        self._shift_pressed = False
+        self._ox = 0.0
+        self._oy = 0.0
+        self._motion_reported = False
+
+        self._fn_cache: dict[int, object] = {}
+        self._frame: np.ndarray | None = None
+
+        cam.update_view_params(
+            self.world, self.zoom, self.object_rotation, self.object_position
+        )
+        self.light_dir = cam.update_light(self.light_rotation)
+
+    # --- frame dispatch (reference DrawFrame, ray.cpp:591-717) --------
+
+    def _statics(self) -> RenderStatics:
+        return RenderStatics.from_config(
+            self.cfg,
+            width=self.width,
+            height=self.height,
+            which=self.which,
+        )
+
+    def _render_fn(self):
+        key = (self.which, self.width, self.height)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            statics = self._statics()
+            if self.mesh is not None:
+                from shader_ray_tpu.parallel import make_sharded_render_fn
+
+                fn = make_sharded_render_fn(self.scene, statics, self.mesh)
+            else:
+                fn = make_render_fn(self.scene, statics)
+            self._fn_cache[key] = fn
+        return fn
+
+    def frame_params(self) -> FrameParams:
+        spec, diff = resolve_material(self.which_material, self.which_diffuse_color)
+        w = self.world
+        return FrameParams(
+            camera_matrix=jnp.asarray(w.camera_matrix),
+            camera_normal_matrix=jnp.asarray(w.camera_normal_matrix),
+            object_matrix=jnp.asarray(w.object_matrix),
+            object_normal_matrix=jnp.asarray(w.object_normal_matrix),
+            object_normal_inverse=jnp.asarray(w.object_normal_inverse),
+            light_dir=jnp.asarray(self.light_dir),
+            specular_color=jnp.asarray(spec),
+            diffuse_color=jnp.asarray(diff),
+            image_plane_width=jnp.asarray(
+                2.0 * np.tan(self.fov / 2.0), jnp.float32
+            ),
+        )
+
+    def draw_frame(self) -> np.ndarray:
+        out = self._render_fn()(self.frame_params())
+        out.block_until_ready()
+        self._frame = np.asarray(out)
+        return self._frame
+
+    def render(self) -> np.ndarray | None:
+        """Damage-driven render: computes a frame only if state changed
+        since the last one (ray.cpp:1132-1142)."""
+        if not self.redraw and self._frame is not None:
+            return None
+        frame = self.draw_frame()
+        self.redraw = False
+        return frame
+
+    # --- screenshot (reference ray.cpp:730-787, 's' key) --------------
+
+    def screenshot(self, path: str = "color.ppm") -> str:
+        """Write the current frame as binary PPM (P6) — the reference's
+        color.ppm contract."""
+        if self._frame is None or self.redraw:
+            self.render()
+        write_ppm(path, self._frame)
+        return path
+
+    # --- benchmark (reference 'b', ray.cpp:1096-1131) ------------------
+
+    def benchmark(self, frame_count: int = 100, file=sys.stdout) -> list[float]:
+        """Render ``frame_count`` frames, print the reference's
+        10-bucket duration histogram plus Mrays/s."""
+        fn = self._render_fn()
+        params = self.frame_params()
+        fn(params).block_until_ready()  # exclude compile, like warm GL
+        durations = []
+        for _ in range(frame_count):
+            then = time.perf_counter()
+            fn(params).block_until_ready()
+            durations.append(time.perf_counter() - then)
+        frame_min, frame_max = min(durations), max(durations)
+
+        print(f"{frame_count} frames:", file=file)
+        bucket_count = 10
+        duration_range = frame_max - frame_min
+        for i in range(bucket_count):
+            bucket_start = frame_min + duration_range * i / bucket_count
+            bucket_end = frame_min + duration_range * (i + 1) / bucket_count
+            count = sum(
+                1 for d in durations if bucket_start <= d < bucket_end
+            )
+            fps = 1.0 / ((bucket_start + bucket_end) / 2.0)
+            print(
+                f"{bucket_start * 1000.0:.2f} to {bucket_end * 1000.0:.2f} ms, "
+                f"{fps:.2f} fps : {count}",
+                file=file,
+            )
+        rays = self.width * self.height * 6
+        med = float(np.median(durations))
+        print(f"median {med * 1e3:.2f} ms, {rays / med / 1e6:.1f} Mrays/s", file=file)
+        return durations
+
+    # --- keyboard (reference KeyCallback, ray.cpp:791-856) -------------
+
+    def key(self, k: str) -> None:
+        if k == "[":
+            self.fov /= 1.05
+            print(f"fov = {self.fov:f}")
+            self.redraw = True
+        elif k == "]":
+            self.fov *= 1.05
+            print(f"fov = {self.fov:f}")
+            self.redraw = True
+        elif k == ",":
+            self.which -= 1
+            print(f"which = {self.which}")
+            self.redraw = True
+        elif k == ".":
+            self.which += 1
+            print(f"which = {self.which}")
+            self.redraw = True
+        elif k in ("q", "Q", "\033"):
+            self.quit = True
+        elif k in ("o", "O"):
+            self.motion_target = MotionTarget.OBJECT
+        elif k in ("l", "L"):
+            self.motion_target = MotionTarget.LIGHT
+        elif k in ("b", "B"):
+            self.do_benchmark = True
+            self.redraw = True
+        elif k in ("s", "S"):
+            self.screenshot("color.ppm")
+        elif k in ("p", "P"):
+            # reference stub (ray.cpp:846-848)
+            print("XXX - print camera and object matrices here")
+        elif k in ("d", "D"):
+            self.which_diffuse_color = (
+                self.which_diffuse_color + 1
+            ) % len(DIFFUSE_COLORS)
+            self.redraw = True
+        elif k in ("m", "M"):
+            self.which_material = (self.which_material + 1) % len(MATERIALS)
+            self.redraw = True
+
+    # --- mouse (reference Button/MotionCallback, ray.cpp:862-918) ------
+
+    def button(self, pressed: bool, x: float, y: float, shift: bool = False) -> None:
+        if pressed:
+            self._button_pressed = True
+            self._shift_pressed = shift
+            self._ox, self._oy = x, y
+            self.redraw = True
+        else:
+            self._button_pressed = False
+
+    def motion(self, x: float, y: float) -> None:
+        if not self._motion_reported:
+            self._motion_reported = True
+            self._ox, self._oy = x, y
+        dx, dy = x - self._ox, y - self._oy
+        self._ox, self._oy = x, y
+        if not self._button_pressed:
+            return
+        if self._shift_pressed:
+            # exponential zoom (ray.cpp:902)
+            self.zoom *= float(np.exp(np.log(5.0) / self.height / 2.0 * -dy))
+        elif self.motion_target is MotionTarget.OBJECT:
+            # reverse of OpenGL (ray.cpp:905-906)
+            self.object_rotation = cam.trackball_motion(
+                self.object_rotation, -(dx / self.width), -(dy / self.height)
+            )
+        else:
+            self.light_rotation = cam.trackball_motion(
+                self.light_rotation, dx / self.width, dy / self.height
+            )
+        cam.update_view_params(
+            self.world, self.zoom, self.object_rotation, self.object_position
+        )
+        self.light_dir = cam.update_light(self.light_rotation)
+        self.redraw = True
+
+    def drag(self, dx: float, dy: float, shift: bool = False) -> None:
+        """Convenience: a full press-move-release gesture in pixels."""
+        x0, y0 = self.width / 2.0, self.height / 2.0
+        self._motion_reported = True
+        self.button(True, x0, y0, shift)
+        self.motion(x0 + dx, y0 + dy)
+        self.button(False, x0 + dx, y0 + dy)

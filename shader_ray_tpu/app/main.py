@@ -1,0 +1,164 @@
+"""CLI entry: ``python -m shader_ray_tpu model background``.
+
+Same positional interface as the reference (usage ray.cpp:945-950,
+README.md:10): a model file (.trisrc / .obj) and a background spec
+("r, g, b" floats, ``grid``, hex ``rrggbb``, or an image path — HDR
+.hdr natively, LDR via PIL).
+
+The reference opens a GLFW window; headless TPU hosts get an
+interactive stdin REPL instead with the same key bindings
+(ray.cpp:791-856) plus drag/zoom commands, writing frames to PPM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+HELP = """\
+commands (reference key map, ray.cpp:791-856):
+  [ / ]        fov divide/multiply by 1.05
+  , / .        debug mode `which` -/+
+  o / l        mouse target: object / light
+  m            cycle material (gold silver copper iron alum plastic...)
+  d            cycle diffuse color (white reddish green blueish)
+  b            benchmark: 100 frames, duration histogram
+  s            screenshot -> color.ppm
+  q            quit
+extra (headless equivalents of mouse gestures):
+  drag DX DY   trackball-rotate current target by a pixel drag
+  zoom DY      shift-drag zoom by DY pixels (negative = zoom in)
+  render [F]   force a frame; optionally write it to file F (.ppm)
+  help         this text
+"""
+
+
+def build_app(args) -> "App":
+    from shader_ray_tpu.app.driver import App
+    from shader_ray_tpu.config import get_config
+    from shader_ray_tpu.models.background import load_background
+    from shader_ray_tpu.models.world import (
+        get_shader_data,
+        load_world,
+        scene_fingerprint,
+    )
+    from shader_ray_tpu.ops.scene import upload_scene
+    from shader_ray_tpu.utils.cache import cached_scene_data
+
+    cfg = get_config()
+    world = load_world(args.model, cfg)
+    if cfg.scene_cache:
+        key = scene_fingerprint(args.model, cfg)
+        data = cached_scene_data(
+            key, lambda: get_shader_data(world, cfg, verbose=True), verbose=True
+        )
+    else:
+        data = get_shader_data(world, cfg, verbose=True)
+    background = load_background(args.background)
+    scene = upload_scene(data, background)
+
+    mesh = None
+    if args.devices != 1:
+        import jax
+
+        from shader_ray_tpu.parallel import make_mesh, replicate_scene
+
+        n = len(jax.devices()) if args.devices == 0 else args.devices
+        if n > 1:
+            mesh = make_mesh(n)
+            scene = replicate_scene(scene, mesh)
+
+    return App(world, scene, cfg, width=args.width, height=args.height, mesh=mesh)
+
+
+def repl(app, out_path: str, stream) -> None:
+    frame = app.render()
+    if frame is not None:
+        from shader_ray_tpu.utils.ppm import write_ppm
+
+        write_ppm(out_path, frame)
+        print(f"wrote {out_path}", file=sys.stderr)
+
+    for line in stream:
+        line = line.strip()
+        if not line:
+            continue
+        parts = line.split()
+        cmd = parts[0]
+        if cmd == "help":
+            print(HELP, end="")
+        elif cmd == "drag" and len(parts) == 3:
+            app.drag(float(parts[1]), float(parts[2]))
+        elif cmd == "zoom" and len(parts) == 2:
+            app.drag(0.0, float(parts[1]), shift=True)
+        elif cmd == "render":
+            app.redraw = True
+            frame = app.render()
+            path = parts[1] if len(parts) > 1 else out_path
+            from shader_ray_tpu.utils.ppm import write_ppm
+
+            write_ppm(path, frame)
+            print(f"wrote {path}", file=sys.stderr)
+            continue
+        else:
+            for ch in cmd:
+                app.key(ch)
+        if app.do_benchmark:
+            app.do_benchmark = False
+            app.benchmark()
+        if app.quit:
+            break
+        frame = app.render()
+        if frame is not None:
+            from shader_ray_tpu.utils.ppm import write_ppm
+
+            write_ppm(out_path, frame)
+            print(f"wrote {out_path}", file=sys.stderr)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="shader_ray_tpu",
+        description="TPU-native interactive ray tracer",
+    )
+    p.add_argument("model", help="scene file (.trisrc or .obj)")
+    p.add_argument(
+        "background",
+        help='env spec: "r, g, b" | grid | rrggbb hex | image path (.hdr/.png/...)',
+    )
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument(
+        "--devices",
+        type=int,
+        default=1,
+        help="shard the frame over N devices (0 = all available)",
+    )
+    p.add_argument("--out", default="frame.ppm", help="output frame path")
+    p.add_argument(
+        "--once", action="store_true", help="render one frame and exit (no REPL)"
+    )
+    args = p.parse_args(argv)
+
+    try:
+        app = build_app(args)
+    except (FileNotFoundError, ValueError) as e:
+        # fail-fast with a message, like the reference (ray.cpp:996-999)
+        print(f"Couldn't load scene: {e}", file=sys.stderr)
+        return 1
+    if args.once:
+        frame = app.render()
+        from shader_ray_tpu.utils.ppm import write_ppm
+
+        write_ppm(args.out, frame)
+        print(f"wrote {args.out}", file=sys.stderr)
+        return 0
+    repl(app, args.out, sys.stdin)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,10 +35,12 @@ class Camera:
 @dataclass
 class World:
     triangles: TriangleSet
-    bvh: BVH
+    bvh: BVH | None  # None when the native builder produced `flat`
     scene_center: np.ndarray
     scene_extent: float
     triangle_count: int
+    flat: "FlatBVH | None" = None   # native-path pre-flattened BVH
+    order: np.ndarray | None = None  # native-path triangle permutation
     cam: Camera = field(default_factory=Camera)
     # view matrices, set by app.camera.update_view_params
     # (reference world.h:44-59)
@@ -48,6 +50,11 @@ class World:
     object_inverse: np.ndarray = field(default_factory=mat4.identity)
     object_normal_matrix: np.ndarray = field(default_factory=mat4.identity)
     object_normal_inverse: np.ndarray = field(default_factory=mat4.identity)
+
+    @property
+    def tri_order(self) -> np.ndarray:
+        """BVH triangle permutation, whichever builder produced it."""
+        return self.order if self.order is not None else self.bvh.order
 
 
 @dataclass
@@ -128,13 +135,37 @@ def make_world(triangles: TriangleSet, config: Config | None = None, verbose: bo
         )
 
     then = time.monotonic()
-    bvh = make_bvh(
-        triangles.tri_boxmin, triangles.tri_boxmax, triangles.barycenters, cfg,
-        verbose=verbose,
-    )
-    if verbose:
-        print(f"BVH: {time.monotonic() - then:f} seconds", file=sys.stderr)
-        bvh.stats.print()
+    bvh = flat = order = None
+    if cfg.use_native != "never":
+        from shader_ray_tpu import native
+
+        if native.available():
+            flat, order, leaf_count = native.build_flat_bvh(
+                triangles.tri_boxmin,
+                triangles.tri_boxmax,
+                triangles.barycenters,
+                leaf_max=cfg.bvh_leaf_max,
+                max_depth=cfg.bvh_max_depth,
+                ctrav=cfg.sah_ctrav,
+                cisec=cfg.sah_cisec,
+            )
+            if verbose:
+                print(
+                    f"BVH (native): {time.monotonic() - then:f} seconds",
+                    file=sys.stderr,
+                )
+                print(f"{flat.node_count} bvh nodes", file=sys.stderr)
+                print(f"{leaf_count} of those are leaves", file=sys.stderr)
+        elif cfg.use_native == "require":
+            raise RuntimeError("Config.use_native=require but libscene unavailable")
+    if flat is None:
+        bvh = make_bvh(
+            triangles.tri_boxmin, triangles.tri_boxmax, triangles.barycenters, cfg,
+            verbose=verbose,
+        )
+        if verbose:
+            print(f"BVH: {time.monotonic() - then:f} seconds", file=sys.stderr)
+            bvh.stats.print()
 
     return World(
         triangles=triangles,
@@ -142,6 +173,8 @@ def make_world(triangles: TriangleSet, config: Config | None = None, verbose: bo
         scene_center=scene_center,
         scene_extent=scene_extent,
         triangle_count=tcount,
+        flat=flat,
+        order=order,
     )
 
 
@@ -149,12 +182,16 @@ def get_shader_data(world: World, config: Config | None = None, verbose: bool = 
     """Flatten World into SceneData (reference get_shader_data,
     world.cpp:298-347)."""
     then = time.monotonic()
-    flat: FlatBVH = flatten_bvh(world.bvh)
+    if world.flat is not None:
+        flat = world.flat  # native path flattened during build
+        order = world.order
+    else:
+        flat = flatten_bvh(world.bvh)
+        order = world.bvh.order  # BVH-permuted triangle order
     if verbose:
         print(f"hitmiss: {time.monotonic() - then:f} seconds", file=sys.stderr)
 
     ts = world.triangles
-    order = world.bvh.order  # BVH-permuted triangle order
     T = world.triangle_count
     if T > 0:
         idx = ts.indices[order]              # (T, 3)

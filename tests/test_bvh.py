@@ -181,7 +181,7 @@ def test_shader_data_layout(rng):
     assert 0 <= data.tree_root < data.group_count
     # triangle positions are BVH-ordered expansions of the originals
     got = data.tri_positions.reshape(100, 3, 3)
-    expected = tris[world.bvh.order]
+    expected = tris[world.tri_order]
     np.testing.assert_allclose(got, expected, atol=1e-6)
 
 

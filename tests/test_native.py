@@ -1,0 +1,85 @@
+"""Native C++ libscene vs. the numpy builder: the two scene-compile
+paths must produce bit-identical flattened arrays."""
+
+import numpy as np
+import pytest
+
+from shader_ray_tpu import native
+from shader_ray_tpu.config import Config
+from shader_ray_tpu.models.bvh import make_bvh
+from shader_ray_tpu.models.fixtures import bunny_class_scene, uv_sphere
+from shader_ray_tpu.models.flatten import flatten_bvh
+from shader_ray_tpu.models.triangle_set import TriangleSet
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native libscene unavailable"
+)
+
+
+def _compare(ts: TriangleSet, cfg: Config):
+    bvh = make_bvh(ts.tri_boxmin, ts.tri_boxmax, ts.barycenters, cfg)
+    flat = flatten_bvh(bvh)
+    nflat, norder, nleaves = native.build_flat_bvh(
+        ts.tri_boxmin, ts.tri_boxmax, ts.barycenters,
+        leaf_max=cfg.bvh_leaf_max, max_depth=cfg.bvh_max_depth,
+        ctrav=cfg.sah_ctrav, cisec=cfg.sah_cisec,
+    )
+    assert nflat.root == flat.root
+    assert nleaves == bvh.stats.leaf_count
+    np.testing.assert_array_equal(norder, bvh.order)
+    np.testing.assert_array_equal(nflat.boxmin, flat.boxmin)
+    np.testing.assert_array_equal(nflat.boxmax, flat.boxmax)
+    np.testing.assert_array_equal(nflat.start, flat.start)
+    np.testing.assert_array_equal(nflat.count, flat.count)
+    np.testing.assert_array_equal(nflat.children, flat.children)
+    np.testing.assert_array_equal(nflat.axis, flat.axis)
+    np.testing.assert_array_equal(nflat.hitmiss, flat.hitmiss)
+
+
+def test_native_matches_numpy_random(rng):
+    pts = rng.normal(size=(500, 3, 3)).astype(np.float32)
+    ts = TriangleSet.from_arrays(pts)
+    _compare(ts, Config())
+
+
+def test_native_matches_numpy_sphere():
+    pos, _ = uv_sphere(lat=16, lon=24)
+    ts = TriangleSet.from_arrays(pos)
+    _compare(ts, Config())
+
+
+def test_native_matches_numpy_clustered(rng):
+    """Clustered geometry stresses the large-leaf / one-side paths."""
+    centers = rng.normal(size=(20, 1, 1, 3)) * 10.0
+    pts = (centers + rng.normal(size=(20, 40, 3, 3)) * 0.1).reshape(-1, 3, 3)
+    ts = TriangleSet.from_arrays(pts.astype(np.float32))
+    _compare(ts, Config())
+
+
+def test_native_matches_numpy_degenerate(rng):
+    """Identical barycenters (all triangles stacked) force no-split."""
+    tri = rng.normal(size=(1, 3, 3)).astype(np.float32)
+    pts = np.repeat(tri, 50, axis=0)
+    ts = TriangleSet.from_arrays(pts, dedup=False)
+    _compare(ts, Config())
+
+
+def test_native_matches_numpy_knobs():
+    pos, _ = uv_sphere(lat=10, lon=14)
+    ts = TriangleSet.from_arrays(pos)
+    cfg = Config()
+    cfg.bvh_leaf_max = 4
+    cfg.bvh_max_depth = 6
+    cfg.sah_cisec = 2.0
+    _compare(ts, cfg)
+
+
+def test_native_matches_numpy_bunny_class():
+    pos, _ = bunny_class_scene(20000)
+    ts = TriangleSet.from_arrays(pos)
+    _compare(ts, Config())
+
+
+def test_native_empty_scene():
+    ts = TriangleSet.from_arrays(np.zeros((0, 3, 3), np.float32))
+    _compare(ts, Config())

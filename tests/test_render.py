@@ -30,8 +30,8 @@ def build(tri_pos, tri_norm=None, env=None):
         env = np.full((1, 1, 3), 0.5, np.float32)
     scene = upload_scene(data, env)
     # oracle wants BVH-ordered triangles so `which` indexing matches
-    ordered_pos = ts.positions[ts.indices[world.bvh.order]]
-    ordered_norm = ts.normals[ts.indices[world.bvh.order]]
+    ordered_pos = ts.positions[ts.indices[world.tri_order]]
+    ordered_norm = ts.normals[ts.indices[world.tri_order]]
     return world, scene, ordered_pos, ordered_norm, env
 
 

@@ -56,7 +56,7 @@ def test_traversal_matches_brute_force(rng):
 
     hit = traverse(scene, jnp.asarray(P), jnp.asarray(D))
     # brute force runs on BVH-ordered triangles so `which` is comparable
-    ordered = tris[world.bvh.order]
+    ordered = tris[world.tri_order]
     t_ref, which_ref, u_ref, v_ref = intersect_brute(
         ordered.astype(np.float64), P.astype(np.float64), D.astype(np.float64)
     )
