@@ -5,11 +5,14 @@ Workload mirrors the reference's canonical frame (SURVEY.md section 6):
 ~69k-triangle mesh (bunny-class; the bunny.trisrc asset lives in an
 external repo we cannot fetch) + HDR lat-long environment, 3 bounces +
 3 hard-shadow rays per pixel (raytracer.es.fs:550,445), filmic tonemap,
-at the driver north-star resolution 1024x768 on one chip.
+at the driver north-star resolution 1024x768 on one chip, on the
+production engine for the backend (Pallas packet engine on TPU).
 
 Ray accounting matches BASELINE.md's derivation: W*H*(3 bounce +
-3 shadow) potential rays per frame; time is the median of timed frames
-after a compile + warmup pass.
+3 shadow) potential rays per frame.  Timing is synchronous: every
+frame is fetched to host (np.asarray) — on the axon runtime
+block_until_ready returns before execution finishes, so D2H is the
+only honest fence.  Median over FRAMES timed frames after warmup.
 
 Prints ONE JSON line:
   {"metric": "mrays_per_s", "value": N, "unit": "Mrays/s", "vs_baseline": N}
@@ -28,15 +31,14 @@ import numpy as np
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", "1024"))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", "768"))
-FRAMES = int(os.environ.get("BENCH_FRAMES", "10"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "5"))
 TARGET_MRAYS = 200.0
 
 
-def build_scene():
+def build_scene_data():
     from shader_ray_tpu.models.fixtures import bunny_class_scene, procedural_sky
     from shader_ray_tpu.models.triangle_set import TriangleSet
     from shader_ray_tpu.models.world import get_shader_data, make_world
-    from shader_ray_tpu.ops.scene import upload_scene
     from shader_ray_tpu.utils.cache import cached_scene_data
 
     def builder():
@@ -46,28 +48,27 @@ def build_scene():
         return get_shader_data(world)
 
     data = cached_scene_data("bench-bunny-class-69k", builder, verbose=True)
-    return upload_scene(data, procedural_sky(2048)), data
+    return data, procedural_sky(2048)
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from shader_ray_tpu.ops.render import (
-        RenderStatics,
-        default_frame_params,
-        make_render_fn,
-    )
+    from shader_ray_tpu.engine import Renderer
+    from shader_ray_tpu.ops.render import RenderStatics, default_frame_params
     from shader_ray_tpu.utils import mat4
 
     backend = jax.default_backend()
     print(f"backend: {backend}, devices: {jax.devices()}", file=sys.stderr)
 
-    scene, data = build_scene()
+    data, env = build_scene_data()
     print(
         f"scene: {data.triangle_count} tris, {data.group_count} bvh nodes",
         file=sys.stderr,
     )
+    renderer = Renderer(data, env)
+    print(f"engine: {renderer.engine}", file=sys.stderr)
 
     statics = RenderStatics(
         width=WIDTH,
@@ -75,7 +76,7 @@ def main() -> None:
         tile_size=int(os.environ.get("BENCH_TILE", "65536")),
     )
     # camera framing like the reference default: zoom = extent/2/sin(fov/2)
-    # (ray.cpp:1079); the bunny-class sphere has extent ~2.5
+    # (ray.cpp:1079); the bunny-class sphere has extent ~2.6
     fov = np.deg2rad(40.0)
     zoom = 2.6 / 2.0 / np.sin(fov / 2.0)
     cam = mat4.make_translation(0.0, 0.0, zoom).astype(np.float32)
@@ -85,21 +86,21 @@ def main() -> None:
         specular_color=jnp.asarray(np.array([0.05, 0.05, 0.05], np.float32)),
     )
 
-    fn = make_render_fn(scene, statics)
+    fn = renderer.make_fn(statics)
 
     t0 = time.perf_counter()
-    img = fn(params)
-    img.block_until_ready()
+    img = np.asarray(fn(params))  # compile + first frame + fetch
     print(f"compile+first frame: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
-    fn(params).block_until_ready()  # warm
+    np.asarray(fn(params))  # warm
 
     times = []
     for _ in range(FRAMES):
         t0 = time.perf_counter()
-        fn(params).block_until_ready()
+        img = np.asarray(fn(params))
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
 
+    assert np.isfinite(img).all(), "non-finite pixels in benchmark frame"
     rays = WIDTH * HEIGHT * 6  # 3 bounce + 3 shadow (BASELINE.md accounting)
     mrays = rays / t / 1e6
     print(

@@ -28,7 +28,7 @@ from shader_ray_tpu.app import camera as cam
 from shader_ray_tpu.app.materials import DIFFUSE_COLORS, MATERIALS, resolve_material
 from shader_ray_tpu.config import Config, get_config
 from shader_ray_tpu.models.world import World
-from shader_ray_tpu.ops.render import FrameParams, RenderStatics, make_render_fn
+from shader_ray_tpu.ops.render import FrameParams, RenderStatics
 from shader_ray_tpu.ops.scene import DeviceScene
 from shader_ray_tpu.utils import mat4
 from shader_ray_tpu.utils.ppm import write_ppm
@@ -45,17 +45,26 @@ class App:
     def __init__(
         self,
         world: World,
-        scene: DeviceScene,
+        renderer,
         config: Config | None = None,
         width: int | None = None,
         height: int | None = None,
-        mesh=None,
     ) -> None:
         cfg = config or get_config()
         self.cfg = cfg
         self.world = world
-        self.scene = scene
-        self.mesh = mesh
+        if isinstance(renderer, DeviceScene):
+            # accept a raw uploaded scene: wrap in a wavefront renderer
+            from shader_ray_tpu.engine import Renderer
+
+            shim = Renderer.__new__(Renderer)
+            shim.cfg = cfg
+            shim.engine = "wavefront"
+            shim.mesh = None
+            shim.scene = renderer
+            shim.packed = None
+            renderer = shim
+        self.renderer = renderer
         self.width = width or cfg.window_width
         self.height = height or cfg.window_height
 
@@ -103,13 +112,7 @@ class App:
         key = (self.which, self.width, self.height)
         fn = self._fn_cache.get(key)
         if fn is None:
-            statics = self._statics()
-            if self.mesh is not None:
-                from shader_ray_tpu.parallel import make_sharded_render_fn
-
-                fn = make_sharded_render_fn(self.scene, statics, self.mesh)
-            else:
-                fn = make_render_fn(self.scene, statics)
+            fn = self.renderer.make_fn(self._statics())
             self._fn_cache[key] = fn
         return fn
 
@@ -162,11 +165,14 @@ class App:
         10-bucket duration histogram plus Mrays/s."""
         fn = self._render_fn()
         params = self.frame_params()
-        fn(params).block_until_ready()  # exclude compile, like warm GL
+        # np.asarray forces a host fetch: on the axon runtime
+        # block_until_ready returns before execution completes, so
+        # honest timing requires the D2H sync
+        np.asarray(fn(params))
         durations = []
         for _ in range(frame_count):
             then = time.perf_counter()
-            fn(params).block_until_ready()
+            np.asarray(fn(params))
             durations.append(time.perf_counter() - then)
         frame_min, frame_max = min(durations), max(durations)
 

@@ -45,7 +45,6 @@ def build_app(args) -> "App":
         load_world,
         scene_fingerprint,
     )
-    from shader_ray_tpu.ops.scene import upload_scene
     from shader_ray_tpu.utils.cache import cached_scene_data
 
     cfg = get_config()
@@ -58,20 +57,23 @@ def build_app(args) -> "App":
     else:
         data = get_shader_data(world, cfg, verbose=True)
     background = load_background(args.background)
-    scene = upload_scene(data, background)
 
     mesh = None
     if args.devices != 1:
         import jax
 
-        from shader_ray_tpu.parallel import make_mesh, replicate_scene
+        from shader_ray_tpu.parallel import make_mesh
 
         n = len(jax.devices()) if args.devices == 0 else args.devices
         if n > 1:
             mesh = make_mesh(n)
-            scene = replicate_scene(scene, mesh)
 
-    return App(world, scene, cfg, width=args.width, height=args.height, mesh=mesh)
+    from shader_ray_tpu.engine import Renderer
+
+    engine = args.engine if args.engine != "auto" else None
+    renderer = Renderer(data, background, cfg, engine=engine, mesh=mesh)
+    print(f"engine: {renderer.engine}", file=sys.stderr)
+    return App(world, renderer, cfg, width=args.width, height=args.height)
 
 
 def repl(app, out_path: str, stream) -> None:
@@ -136,6 +138,12 @@ def main(argv=None) -> int:
         type=int,
         default=1,
         help="shard the frame over N devices (0 = all available)",
+    )
+    p.add_argument(
+        "--engine",
+        choices=["auto", "packet", "wavefront"],
+        default="auto",
+        help="device render engine (auto: packet on TPU, wavefront elsewhere)",
     )
     p.add_argument("--out", default="frame.ppm", help="output frame path")
     p.add_argument(

@@ -70,6 +70,7 @@ class Config:
         c.geometry_scale = _env_float("GEOMETRY_SCALE", c.geometry_scale)
         if os.environ.get("SRT_ENGINE"):
             c.engine = os.environ["SRT_ENGINE"]
+        c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)
         if os.environ.get("SRT_NATIVE"):
             c.use_native = os.environ["SRT_NATIVE"]
         return c

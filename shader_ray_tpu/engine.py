@@ -1,0 +1,81 @@
+"""Engine facade: picks the device render path and builds frame fns.
+
+Two engines, one contract (``fn(params) -> (H, W, 3)``):
+
+* ``wavefront`` — pure-XLA per-lane engine (ops/render.py).  Exact
+  GL-parity feature set including the debug/supersample modes.  Uses
+  XLA gathers, which the axon TPU runtime compiles/executes
+  pathologically — so it is the CPU/test engine.
+* ``packet``    — Pallas packet megakernel + MXU env sampling
+  (ops/engine_pallas.py).  The production TPU engine.  Env sampling
+  is the reference's default ``which = 0`` mode at the packed env
+  resolution.
+
+``auto`` resolves per backend: tpu -> packet, else wavefront.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from shader_ray_tpu.config import Config, get_config
+from shader_ray_tpu.models.world import SceneData
+from shader_ray_tpu.ops.render import RenderStatics
+
+
+def select_engine(cfg: Config | None = None) -> str:
+    import jax
+
+    cfg = cfg or get_config()
+    if cfg.engine not in ("auto", ""):
+        return cfg.engine
+    return "packet" if jax.default_backend() == "tpu" else "wavefront"
+
+
+class Renderer:
+    """Owns the device-resident scene for the chosen engine and hands
+    out jitted frame functions per static render config."""
+
+    def __init__(
+        self,
+        data: SceneData,
+        background: np.ndarray,
+        config: Config | None = None,
+        engine: str | None = None,
+        mesh=None,
+    ) -> None:
+        cfg = config or get_config()
+        self.cfg = cfg
+        self.engine = engine or select_engine(cfg)
+        self.mesh = mesh
+        if self.engine == "packet":
+            from shader_ray_tpu.ops.pallas.pack import pack_scene
+
+            self.packed = pack_scene(data, background)
+            self.scene = None
+        elif self.engine == "wavefront":
+            from shader_ray_tpu.ops.scene import upload_scene
+
+            self.scene = upload_scene(data, background)
+            self.packed = None
+            if mesh is not None:
+                from shader_ray_tpu.parallel import replicate_scene
+
+                self.scene = replicate_scene(self.scene, mesh)
+        else:
+            raise ValueError(f"unknown engine {self.engine!r}")
+
+    def make_fn(self, statics: RenderStatics):
+        if self.engine == "packet":
+            from shader_ray_tpu.ops.engine_pallas import make_packet_render_fn
+
+            return make_packet_render_fn(
+                self.packed, statics, tile=self.cfg.ray_tile
+            )
+        if self.mesh is not None:
+            from shader_ray_tpu.parallel import make_sharded_render_fn
+
+            return make_sharded_render_fn(self.scene, statics, self.mesh)
+        from shader_ray_tpu.ops.render import make_render_fn
+
+        return make_render_fn(self.scene, statics)

@@ -1,0 +1,196 @@
+"""Packet render engine — the production TPU frame pipeline.
+
+Same wavefront structure as ops.render.trace_rays (the GLSL trace()
+loop, raytracer.es.fs:552-582) with the two gather-bound stages
+replaced by gather-free TPU implementations:
+
+* BVH traversal + normal interpolation -> ops.pallas.packet (Pallas
+  megakernel, rays on vector lanes, scalar hit/miss walk);
+* environment lookup -> ops.pallas.envmxu (one-hot bilinear matmuls
+  on the MXU) at the PackedScene env resolution, equivalent to the
+  reference's ``which = 0`` sampling mode (zero-gradient texture(),
+  fs:153) — the analytic-derivative modes stay on the CPU engine.
+
+Everything else (Schlick, Lambert + hard shadows, filmic tonemap,
+camera ray gen) is elementwise math shared with the CPU engine.
+
+IMPORTANT (axon runtime): the jitted frame function takes the
+PackedScene as an ARGUMENT — device arrays captured as closure
+constants send this runtime's compiler into a minutes-long stall.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shader_ray_tpu.ops.pallas.envmxu import sample_env_mxu
+from shader_ray_tpu.ops.pallas.pack import PackedScene
+from shader_ray_tpu.ops.pallas.packet import INFINITELY_FAR, packet_trace
+from shader_ray_tpu.ops.render import FrameParams, RenderStatics, generate_rays
+from shader_ray_tpu.ops.shading import (
+    Rays,
+    f_schlick_vr,
+    ray_reflect,
+    ray_transfer,
+    tonemap_and_gamma,
+)
+from shader_ray_tpu.ops.vecmath import dot, transform_dir, transform_point
+
+
+def trace_rays_packet(
+    packed: PackedScene,
+    rays: Rays,
+    params: FrameParams,
+    statics: RenderStatics,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The 3-bounce trace loop over a full ray batch -> linear color."""
+    R = rays.P.shape[0]
+    f32 = jnp.float32
+
+    accumulated = jnp.zeros((R, 3), f32)
+    modulation = jnp.ones((R, 3), f32)
+    alive = jnp.ones((R,), bool)
+    bad = jnp.zeros((R,), bool)
+    r = rays
+
+    trace = functools.partial(
+        packet_trace,
+        tile=tile,
+        mt_eps=statics.mt_eps,
+        interpret=interpret,
+    )
+
+    for _bounce in range(statics.bounce_count):
+        objP = transform_point(params.object_matrix, r.P)
+        objD = transform_dir(params.object_normal_matrix, r.D)
+        hit = trace(packed, objP, objD, active=alive)
+        missed = hit.t >= INFINITELY_FAR
+        bad = bad | (alive & hit.bad)
+        hit_ok = alive & ~hit.bad & ~missed
+
+        world_n = transform_dir(params.object_normal_inverse, hit.normal)
+        world_n = jnp.where(
+            (dot(world_n, r.D) > 0.0)[..., None], -world_n, world_n
+        )
+
+        transferred = ray_transfer(r, hit.t, world_n)
+        reflected = ray_reflect(transferred, world_n, statics.surface_fudge)
+
+        spec = f_schlick_vr(params.specular_color, r.D, reflected.D)
+        diffuse = params.diffuse_color
+
+        if statics.enable_diffuse:
+            lcos = jnp.maximum(0.0, dot(world_n, params.light_dir))
+            if statics.cast_shadows:
+                sP = transform_point(params.object_matrix, reflected.P)
+                sD = transform_dir(
+                    params.object_normal_matrix,
+                    jnp.broadcast_to(params.light_dir, (R, 3)),
+                )
+                # occlusion query: any-hit mode exits the walk as soon
+                # as every active lane is shadowed
+                shadow = trace(packed, sP, sD, active=hit_ok, any_hit=True)
+                lit = shadow.t >= INFINITELY_FAR
+            else:
+                lit = jnp.ones((R,), bool)
+            irradiance = (lcos * lit)[..., None]
+            accumulated = jnp.where(
+                hit_ok[..., None],
+                accumulated + modulation * diffuse * irradiance,
+                accumulated,
+            )
+
+        modulation = jnp.where(hit_ok[..., None], modulation * spec, modulation)
+        r = Rays(*[
+            jnp.where(hit_ok[..., None], new, old)
+            for new, old in zip(reflected, r)
+        ])
+        alive = hit_ok
+
+    env = sample_env_mxu(packed.env, r.D)
+    color = accumulated + modulation * env
+    bad_color = jnp.array([1.0, 0.0, 0.0], f32)
+    return jnp.where(bad[..., None], bad_color, color)
+
+
+def _block_dims(H: int, W: int, tile: int) -> tuple[int, int]:
+    """Largest square-ish (bh, bw) with bh*bw == tile that divides the
+    frame — packets then cover compact pixel blocks, maximizing the
+    ray coherence the packet walk depends on (a scanline-order packet
+    spans whole image rows and traverses most of the tree)."""
+    candidates = []
+    bh = 1
+    while bh <= tile:
+        bw = tile // bh
+        if bh * bw == tile and H % bh == 0 and W % bw == 0:
+            candidates.append((bh, bw))
+        bh *= 2
+    if not candidates:
+        return 1, tile  # scanline fallback (padding handles remainder)
+    return min(candidates, key=lambda p: abs(p[0] - p[1]))
+
+
+def _swizzle(x: jnp.ndarray, H, W, bh, bw):
+    """(H*W, C) scanline order -> block order."""
+    C = x.shape[-1]
+    return (
+        x.reshape(H // bh, bh, W // bw, bw, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(H * W, C)
+    )
+
+
+def _unswizzle(x: jnp.ndarray, H, W, bh, bw):
+    C = x.shape[-1]
+    return (
+        x.reshape(H // bh, W // bw, bh, bw, C)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(H * W, C)
+    )
+
+
+def render_frame_packet(
+    packed: PackedScene,
+    params: FrameParams,
+    statics: RenderStatics,
+    tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full frame -> (H, W, 3), tonemapped unless disabled."""
+    W, H = statics.width, statics.height
+    rays, _ = generate_rays(statics, params)
+    bh, bw = _block_dims(H, W, tile)
+    if bh > 1:
+        rays = Rays(*[_swizzle(x, H, W, bh, bw) for x in rays])
+    color = trace_rays_packet(packed, rays, params, statics, tile, interpret)
+    if bh > 1:
+        color = _unswizzle(color, H, W, bh, bw)
+    if statics.do_tonemap:
+        color = tonemap_and_gamma(color, statics.use_filmic)
+    return color.reshape(H, W, 3)
+
+
+def make_packet_render_fn(
+    packed: PackedScene,
+    statics: RenderStatics,
+    tile: int = 1024,
+    interpret: bool = False,
+):
+    """Jit the packet frame function (scene threaded as an argument —
+    see module docstring) and close a convenience wrapper over the
+    packed scene."""
+
+    @functools.partial(jax.jit, static_argnames=("statics_",))
+    def _fn(packed_, params, statics_):
+        return render_frame_packet(packed_, params, statics_, tile, interpret)
+
+    def fn(params: FrameParams) -> jnp.ndarray:
+        return _fn(packed, params, statics)
+
+    return fn

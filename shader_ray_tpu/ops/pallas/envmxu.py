@@ -1,0 +1,92 @@
+"""Environment sampling via MXU one-hot matmuls (gather-free).
+
+The GL path is a textureGrad/texture lat-long lookup
+(raytracer.es.fs:119-155).  The axon TPU runtime has no usable vector
+gather, so the lookup is reformulated as matrix algebra that rides the
+MXU:
+
+    out[r, c] = sum_y sum_x  Wrow[r, y] * Wcol[r, x] * Env[y, x, c]
+
+with ``Wrow``/``Wcol`` two-hot bilinear weight vectors built from pure
+vector ops (iota comparisons).  Contract y on the MXU first:
+
+    T1 = Wrow @ Env.reshape(H, W*3)        # (R, W*3)  — MXU
+    out[r, c] = sum_x Wcol[r, x] * T1[r, x*3 + c]   # VPU reduce
+
+Cost: R*H*W*3*2 flops on the MXU — at the default 256x512 sampling
+resolution and bf16 inputs, ~0.8 GFLOP per 1024 rays, microseconds on
+a v5e.  Exact bilinear filtering (weights in f32, accumulation f32);
+the u axis wraps (lat-long seam), v clamps, matching ops/envmap.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from shader_ray_tpu.ops.envmap import env_coords
+
+
+def sample_env_mxu(
+    env: jnp.ndarray,
+    D: jnp.ndarray,
+    chunk: int = 2048,
+    precision: str = "bf16",
+) -> jnp.ndarray:
+    """Bilinear lat-long sample: env (H, W, 3) f32, D (R, 3) -> (R, 3).
+
+    ``precision``: "bf16" casts env + weights to bfloat16 for the MXU
+    contraction (accumulates f32); "f32" keeps everything f32.
+    """
+    R = D.shape[0]
+    H, W = env.shape[0], env.shape[1]
+    u, v = env_coords(D)  # u in [0,2) possibly, v in [0,1]
+
+    # texel-space coordinates, half-texel centers (GL_LINEAR semantics)
+    x = u * W - 0.5
+    y = (1.0 - v) * H - 0.5  # row 0 = top scanline = v=1 pole
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), W)
+    x1i = jnp.mod(x0i + 1, W)                       # u wraps
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)  # v clamps
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    env_flat = env.reshape(H, W * 3).astype(dtype)
+
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+
+    def sample_chunk(args):
+        x0c, x1c, y0c, y1c, fxc, fyc = args
+        wrow = (
+            (row_iota == y0c[:, None]).astype(jnp.float32) * (1.0 - fyc)
+            + (row_iota == y1c[:, None]).astype(jnp.float32) * fyc
+        ).astype(dtype)
+        wcol = (
+            (col_iota == x0c[:, None]).astype(jnp.float32) * (1.0 - fxc)
+            + (col_iota == x1c[:, None]).astype(jnp.float32) * fxc
+        )
+        t1 = jnp.dot(wrow, env_flat, preferred_element_type=jnp.float32)
+        t1 = t1.reshape(-1, W, 3)
+        return jnp.einsum(
+            "rw,rwc->rc", wcol, t1, preferred_element_type=jnp.float32
+        )
+
+    if R <= chunk:
+        return sample_chunk((x0i, x1i, y0i, y1i, fx, fy))
+
+    pad = (-R) % chunk
+    def padded(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        return a.reshape(-1, chunk, *a.shape[1:])
+
+    out = jax.lax.map(
+        sample_chunk,
+        tuple(padded(a) for a in (x0i, x1i, y0i, y1i, fx, fy)),
+    )
+    return out.reshape(-1, 3)[:R]
