@@ -113,7 +113,21 @@ def trace_rays_packet(
         ])
         alive = hit_ok
 
-    env = sample_env_mxu(packed.env, r.D)
+    if statics.which == 2:
+        # visualize the dY env-coordinate differential (fs:147-149) —
+        # pure math, identical to the wavefront engine's mode 2
+        from shader_ray_tpu.ops.envmap import env_derivatives
+
+        _, _, dudy, dvdy = env_derivatives(r.D, r.dDdx, r.dDdy)
+        env = jnp.stack(
+            [jnp.abs(dudy) * 100.0, jnp.abs(dvdy) * 100.0, jnp.zeros_like(dudy)],
+            axis=-1,
+        )
+    else:
+        # modes 0 and 1: single-level bilinear lookup on the MXU (the
+        # packed env has no mip pyramid, so textureGrad mode 1 renders
+        # like the reference's zero-gradient default, fs:153)
+        env = sample_env_mxu(packed.env, r.D)
     color = accumulated + modulation * env
     bad_color = jnp.array([1.0, 0.0, 0.0], f32)
     return jnp.where(bad[..., None], bad_color, color)
@@ -168,7 +182,51 @@ def render_frame_packet(
     bh, bw = _block_dims(H, W, tile)
     if bh > 1:
         rays = Rays(*[_swizzle(x, H, W, bh, bw) for x in rays])
-    color = trace_rays_packet(packed, rays, params, statics, tile, interpret)
+
+    if statics.which == 3:
+        # per-pixel differential-spread visualization (fs:642-650):
+        # pure math, no traversal — same as the wavefront engine
+        from shader_ray_tpu.ops.envmap import env_coords
+
+        d = rays.D
+        below = jnp.stack(env_coords(d - rays.dDdy / 2.0), axis=-1)
+        above = jnp.stack(env_coords(d + rays.dDdy / 2.0), axis=-1)
+        delta = jnp.abs(above - below) * 100.0
+        color = jnp.concatenate([delta, jnp.zeros_like(delta[..., :1])], axis=-1)
+    elif statics.which == 5:
+        # 5x5 supersampled reference-image mode (fs:654-673)
+        from shader_ray_tpu.ops.vecmath import dot as vdot, normalize
+
+        right = transform_dir(
+            params.camera_normal_matrix,
+            jnp.stack([params.image_plane_width / W, jnp.zeros(()), jnp.zeros(())]),
+        )
+        up = transform_dir(
+            params.camera_normal_matrix,
+            jnp.stack(
+                [jnp.zeros(()), params.image_plane_width * (H / W) / H, jnp.zeros(())]
+            ),
+        )
+        acc = jnp.zeros_like(rays.P)
+        n = 5
+        for i in range(n):
+            for j in range(n):
+                du = i / n - 0.5
+                dv = j / n - 0.5
+                Ds = normalize(rays.D + du * 0.2 * right + dv * 0.2 * up)
+                dDdx = right - vdot(Ds, right)[..., None] * Ds
+                dDdy = up - vdot(Ds, up)[..., None] * Ds
+                sub = Rays(
+                    P=rays.P, D=Ds, dPdx=jnp.zeros_like(Ds), dDdx=dDdx,
+                    dPdy=jnp.zeros_like(Ds), dDdy=dDdy,
+                )
+                acc = acc + trace_rays_packet(
+                    packed, sub, params, statics, tile, interpret
+                )
+        color = acc / (n * n)
+    else:
+        color = trace_rays_packet(packed, rays, params, statics, tile, interpret)
+
     if bh > 1:
         color = _unswizzle(color, H, W, bh, bw)
     if statics.do_tonemap:

@@ -1,10 +1,13 @@
 """Packet BVH traversal megakernel (Pallas TPU).
 
-Design for a 128-lane vector machine with no per-lane gather (the one
-fast dynamic access Mosaic offers is a scalar-indexed sublane slice):
+Design for a 128-lane x 8-sublane vector machine with no per-lane
+gather (the one fast dynamic access Mosaic offers is a scalar-indexed
+sublane slice):
 
-* rays ride the vector LANES — a grid step processes a tile of
-  ``tile`` rays laid out (3, tile);
+* rays fill FULL (8, 128) vector registers — a grid step processes a
+  ``tile``-ray packet folded to (8, tile/8).  (A flat (1, tile)
+  layout runs the VPU at 1/8 occupancy: every vreg would carry one
+  sublane of payload.)
 * the BVH walk is SCALAR: one node pointer for the whole packet,
   advanced through the same 8-octant stackless hit/miss links the
   per-lane engines use (reference raytracer.es.fs:386-443,
@@ -19,8 +22,8 @@ fast dynamic access Mosaic offers is a scalar-indexed sublane slice):
   early-outs (fs:297-345) become lane masks exactly like the CPU
   wavefront engine (ops/traversal.py);
 * a leaf's (<= 10) triangles are unrolled statically — each slot's
-  vertices come from static lane offsets of the leaf row, so there is
-  no dynamic lane indexing anywhere;
+  vertices come from static (1, 1) element slices of the leaf record
+  block, so there is no dynamic lane indexing anywhere;
 * hit normals are interpolated AT ACCEPT TIME from the leaf's vertex
   normals, so shading needs no post-traversal gather.
 
@@ -47,7 +50,6 @@ from shader_ray_tpu.ops.pallas.pack import (
     L_LEAF_ROW,
     L_LINKS,
     L_TRI_BASE,
-    LANES,
     LEAF_RECORD,
     LEAF_SLOTS,
     LEAVES_PER_GROUP,
@@ -59,6 +61,7 @@ from shader_ray_tpu.ops.pallas.pack import (
 INFINITELY_FAR = 1.0e7   # fs:115
 RANGE_T1 = 1.0e8         # fs:463,491
 MT_EPSILON = 1.0e-7      # fs:312
+FOLD = 8                 # sublanes per ray block
 
 
 class PacketHit(NamedTuple):
@@ -83,15 +86,17 @@ def _kernel(
     max_steps: int,
     mt_eps: float,
     tile: int,
+    fold: int,
     any_hit: bool = False,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
-    R = tile
+    F = fold
+    C = tile // F  # ray block is (F, C)
 
-    Px, Py, Pz = P_ref[0:1, :], P_ref[1:2, :], P_ref[2:3, :]
-    Dx, Dy, Dz = D_ref[0:1, :], D_ref[1:2, :], D_ref[2:3, :]
-    act = act_ref[0:1, :] > 0
+    Px, Py, Pz = P_ref[0:F, :], P_ref[F : 2 * F, :], P_ref[2 * F :, :]
+    Dx, Dy, Dz = D_ref[0:F, :], D_ref[F : 2 * F, :], D_ref[2 * F :, :]
+    act = act_ref[:, :] > 0
 
     invx = 1.0 / Dx
     invy = 1.0 / Dy
@@ -99,13 +104,10 @@ def _kernel(
 
     # packet octant from the mean direction of active lanes
     actf = act.astype(f32)
-    sx = jnp.sum(Dx * actf)
-    sy = jnp.sum(Dy * actf)
-    sz = jnp.sum(Dz * actf)
     octant = (
-        (sx > 0.0).astype(i32)
-        + 2 * (sy > 0.0).astype(i32)
-        + 4 * (sz > 0.0).astype(i32)
+        (jnp.sum(Dx * actf) > 0.0).astype(i32)
+        + 2 * (jnp.sum(Dy * actf) > 0.0).astype(i32)
+        + 4 * (jnp.sum(Dz * actf) > 0.0).astype(i32)
     )
     hit_lane = L_LINKS + 2 * octant  # scalar
     lane_iota = jax.lax.broadcasted_iota(i32, (1, NODE_LANES), 1)
@@ -113,8 +115,7 @@ def _kernel(
     def extract_i(rowi, lane):
         return jnp.sum(jnp.where(lane_iota == lane, rowi, 0))
 
-    NO_HIT = 3.0e7  # > INFINITELY_FAR: "slot rejected" sentinel
-    slot_iota = jax.lax.broadcasted_iota(i32, (LEAF_SLOTS, 1), 0)
+
 
     def leaf_tests(rowi, boxhit, t0, t1, t, which, nx, ny, nz):
         # clamp: cond branches may be traced/executed speculatively and
@@ -126,7 +127,7 @@ def _kernel(
         grp = lrow // LEAVES_PER_GROUP
         sub = lrow % LEAVES_PER_GROUP
         base = pl.multiple_of(grp * GROUP_ROWS, GROUP_ROWS)
-        block = leaves_ref[pl.ds(base, GROUP_ROWS), :]  # (16, 126)
+        block = leaves_ref[pl.ds(base, GROUP_ROWS), :]
         rec = jax.lax.switch(
             sub,
             [
@@ -135,57 +136,47 @@ def _kernel(
             ],
         )  # (10, 18): slot-major triangle records
 
-        # per-slot vertex/normal columns, broadcast against rays on lanes
-        v0x, v0y, v0z = rec[:, 0:1], rec[:, 1:2], rec[:, 2:3]
-        v1x, v1y, v1z = rec[:, 3:4], rec[:, 4:5], rec[:, 5:6]
-        v2x, v2y, v2z = rec[:, 6:7], rec[:, 7:8], rec[:, 8:9]
+        for k in range(LEAF_SLOTS):
+            # true scalar extraction (a reduction) — Mosaic folds
+            # broadcast+slice chains back into an unsupported
+            # (1,1)->(F,C) two-axis broadcast, but scalar->vector
+            # splat is native
+            e = lambda c: jnp.sum(rec[k : k + 1, c : c + 1])
+            v0x, v0y, v0z = e(0), e(1), e(2)
+            v1x, v1y, v1z = e(3), e(4), e(5)
+            v2x, v2y, v2z = e(6), e(7), e(8)
 
-        e0x, e0y, e0z = v1x - v0x, v1y - v0y, v1z - v0z
-        e1x, e1y, e1z = v0x - v2x, v0y - v2y, v0z - v2z
-        # all (10, R) via (10,1) x (1,R) broadcasting
-        Mx = e1y * Dz - e1z * Dy
-        My = e1z * Dx - e1x * Dz
-        Mz = e1x * Dy - e1y * Dx
-        det = e0x * Mx + e0y * My + e0z * Mz
-        ok = jnp.abs(det) >= mt_eps
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-        Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
-        Qx = Ty * e0z - Tz * e0y
-        Qy = Tz * e0x - Tx * e0z
-        Qz = Tx * e0y - Ty * e0x
-        d = -(e1x * Qx + e1y * Qy + e1z * Qz) * inv_det
-        ok = ok & (d <= t) & (d >= t0) & (d <= t1)
-        u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
-        ok = ok & (u >= 0.0) & (u <= 1.0)
-        v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
-        ok = ok & (v >= 0.0) & (u + v <= 1.0)
-        ok = ok & boxhit & (slot_iota < lcount)
+            e0x, e0y, e0z = v1x - v0x, v1y - v0y, v1z - v0z
+            e1x, e1y, e1z = v0x - v2x, v0y - v2y, v0z - v2z
+            # M = cross(e1, D)  (fs:305); all (FOLD, C) via broadcasting
+            Mx = e1y * Dz - e1z * Dy
+            My = e1z * Dx - e1x * Dz
+            Mz = e1x * Dy - e1y * Dx
+            det = e0x * Mx + e0y * My + e0z * Mz
+            ok = jnp.abs(det) >= mt_eps
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
+            # Q = cross(T, e0)
+            Qx = Ty * e0z - Tz * e0y
+            Qy = Tz * e0x - Tx * e0z
+            Qz = Tx * e0y - Ty * e0x
+            d = -(e1x * Qx + e1y * Qy + e1z * Qz) * inv_det
+            ok = ok & (d <= t) & (d >= t0) & (d <= t1)
+            u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
+            ok = ok & (u >= 0.0) & (u <= 1.0)
+            v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
+            ok = ok & (v >= 0.0) & (u + v <= 1.0)
+            take = ok & boxhit & (k < lcount)
 
-        d_ok = jnp.where(ok, d, NO_HIT)
-        dmin = jnp.min(d_ok, axis=0, keepdims=True)        # (1, R)
-        accept = dmin <= t
-        winner = ok & (d_ok == dmin)
-        # ties at equal d: the sequential engine's last accepted slot
-        # wins, so pick the highest winning slot
-        slot_win = jnp.max(
-            jnp.where(winner, slot_iota, -1), axis=0, keepdims=True
-        )
-        last = winner & (slot_iota == slot_win)
-
-        w0 = 1.0 - u - v
-        n0x, n0y, n0z = rec[:, 9:10], rec[:, 10:11], rec[:, 11:12]
-        n1x, n1y, n1z = rec[:, 12:13], rec[:, 13:14], rec[:, 14:15]
-        n2x, n2y, n2z = rec[:, 15:16], rec[:, 16:17], rec[:, 17:18]
-        pick = lambda q: jnp.sum(jnp.where(last, q, 0.0), axis=0, keepdims=True)
-        nx_new = pick(n0x * w0 + n1x * u + n2x * v)
-        ny_new = pick(n0y * w0 + n1y * u + n2y * v)
-        nz_new = pick(n0z * w0 + n1z * u + n2z * v)
-
-        t = jnp.where(accept, dmin, t)
-        which = jnp.where(accept, tbase + slot_win, which)
-        nx = jnp.where(accept, nx_new, nx)
-        ny = jnp.where(accept, ny_new, ny)
-        nz = jnp.where(accept, nz_new, nz)
+            t = jnp.where(take, d, t)
+            which = jnp.where(take, tbase + k, which)
+            w0 = 1.0 - u - v
+            n0x, n0y, n0z = e(9), e(10), e(11)
+            n1x, n1y, n1z = e(12), e(13), e(14)
+            n2x, n2y, n2z = e(15), e(16), e(17)
+            nx = jnp.where(take, n0x * w0 + n1x * u + n2x * v, nx)
+            ny = jnp.where(take, n0y * w0 + n1y * u + n2y * v, ny)
+            nz = jnp.where(take, n0z * w0 + n1z * u + n2z * v, nz)
         return t, which, nx, ny, nz
 
     def cond(c):
@@ -208,12 +199,9 @@ def _kernel(
         )
         rowi = pltpu.bitcast(rowf, jnp.int32)
 
-        bminx = rowf[0:1, L_BOXMIN + 0 : L_BOXMIN + 1]
-        bminy = rowf[0:1, L_BOXMIN + 1 : L_BOXMIN + 2]
-        bminz = rowf[0:1, L_BOXMIN + 2 : L_BOXMIN + 3]
-        bmaxx = rowf[0:1, L_BOXMAX + 0 : L_BOXMAX + 1]
-        bmaxy = rowf[0:1, L_BOXMAX + 1 : L_BOXMAX + 2]
-        bmaxz = rowf[0:1, L_BOXMAX + 2 : L_BOXMAX + 3]
+        ef = lambda c: jnp.sum(rowf[0:1, c : c + 1])  # scalar extract
+        bminx, bminy, bminz = ef(L_BOXMIN), ef(L_BOXMIN + 1), ef(L_BOXMIN + 2)
+        bmaxx, bmaxy, bmaxz = ef(L_BOXMAX), ef(L_BOXMAX + 1), ef(L_BOXMAX + 2)
 
         tax = (bminx - Px) * invx
         tbx = (bmaxx - Px) * invx
@@ -251,11 +239,11 @@ def _kernel(
     init = (
         g0,
         jnp.int32(0),
-        jnp.full((1, R), INFINITELY_FAR, f32),
-        jnp.full((1, R), -1, i32),
-        jnp.zeros((1, R), f32),
-        jnp.zeros((1, R), f32),
-        jnp.zeros((1, R), f32),
+        jnp.full((F, C), INFINITELY_FAR, f32),
+        jnp.full((F, C), -1, i32),
+        jnp.zeros((F, C), f32),
+        jnp.zeros((F, C), f32),
+        jnp.zeros((F, C), f32),
     )
     g, steps, t, which, nx, ny, nz = jax.lax.while_loop(cond, body, init)
 
@@ -263,12 +251,24 @@ def _kernel(
     # exit leaves g >= 0 legitimately, so gate on the step count
     overflow = (g >= 0) & (steps >= max_steps)
     badv = jnp.where(act & overflow, 1, 0).astype(i32)
-    t_ref[0:1, :] = jnp.where(badv > 0, -1.0, t)
-    which_ref[0:1, :] = jnp.where(badv > 0, -1, which)
-    n_ref[0:1, :] = nx
-    n_ref[1:2, :] = ny
-    n_ref[2:3, :] = nz
-    bad_ref[0:1, :] = badv
+    t_ref[:, :] = jnp.where(badv > 0, -1.0, t)
+    which_ref[:, :] = jnp.where(badv > 0, -1, which)
+    n_ref[0:F, :] = nx
+    n_ref[F : 2 * F, :] = ny
+    n_ref[2 * F :, :] = nz
+    bad_ref[:, :] = badv
+
+
+def _fold(comp: jnp.ndarray, n_tiles: int, tile: int, fold: int) -> jnp.ndarray:
+    """(Rp,) -> (fold, n_tiles * tile/fold): per packet, the tile's rays
+    fill a (fold, tile/fold) block; blocks abut along lanes."""
+    C = tile // fold
+    return comp.reshape(n_tiles, fold, C).transpose(1, 0, 2).reshape(fold, n_tiles * C)
+
+
+def _unfold(x: jnp.ndarray, n_tiles: int, tile: int, fold: int) -> jnp.ndarray:
+    C = tile // fold
+    return x.reshape(fold, n_tiles, C).transpose(1, 0, 2).reshape(n_tiles * tile)
 
 
 def packet_trace(
@@ -276,7 +276,7 @@ def packet_trace(
     P: jnp.ndarray,
     D: jnp.ndarray,
     active: jnp.ndarray | None = None,
-    tile: int = 512,
+    tile: int = 2048,
     max_steps: int | None = None,
     mt_eps: float = MT_EPSILON,
     any_hit: bool = False,
@@ -285,29 +285,34 @@ def packet_trace(
     """Trace a batch of object-space rays.  P, D: (R, 3) float32.
 
     Rays are processed in ``tile``-lane packets (one Pallas grid step
-    each); pad R to a multiple of ``tile`` for best behavior — the
-    function pads internally otherwise.
+    each); ``tile`` must be a multiple of 1024 (8 sublanes x 128
+    lanes).  R is padded internally to a tile multiple.
     """
+    assert tile % 128 == 0, "tile must be a multiple of 128"
+    fold = FOLD if tile % (FOLD * 128) == 0 else max(1, tile // 128)
     R = P.shape[0]
     pad = (-R) % tile
     Rp = R + pad
+    n_tiles = Rp // tile
+    C = tile // fold
 
     def prep(x):
         x = jnp.asarray(x, jnp.float32)
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
-        return x.T.reshape(3, Rp)
+        comps = [_fold(x[:, c], n_tiles, tile, fold) for c in range(3)]
+        return jnp.concatenate(comps, axis=0)  # (3*FOLD, n_tiles*C)
 
     Pt = prep(P)
     Dt = prep(D)
     if active is None:
-        actv = jnp.ones((1, R), jnp.float32)
+        actv = jnp.ones((Rp,), jnp.float32)
     else:
-        actv = jnp.asarray(active).astype(jnp.float32).reshape(1, R)
-    if pad:
-        actv = jnp.concatenate([actv, jnp.zeros((1, pad), jnp.float32)], axis=1)
+        actv = jnp.asarray(active).astype(jnp.float32).reshape(R)
+        if pad:
+            actv = jnp.concatenate([actv, jnp.zeros((pad,), jnp.float32)])
+    actt = _fold(actv, n_tiles, tile, fold)
 
-    n_tiles = Rp // tile
     if max_steps is None:
         max_steps = 2 * scene.node_count + 2
 
@@ -317,6 +322,7 @@ def packet_trace(
         max_steps=max_steps,
         mt_eps=mt_eps,
         tile=tile,
+        fold=fold,
         any_hit=any_hit,
     )
 
@@ -324,7 +330,7 @@ def packet_trace(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     rays = lambda rows: pl.BlockSpec(
-        (rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        (rows, C), lambda i: (0, i), memory_space=pltpu.VMEM
     )
 
     t, which, n, bad = pl.pallas_call(
@@ -333,23 +339,27 @@ def packet_trace(
         in_specs=[
             full(scene.nodes.shape),
             full(scene.leaves.shape),
-            rays(3),
-            rays(3),
-            rays(1),
+            rays(3 * fold),
+            rays(3 * fold),
+            rays(fold),
         ],
-        out_specs=[rays(1), rays(1), rays(3), rays(1)],
+        out_specs=[rays(fold), rays(fold), rays(3 * fold), rays(fold)],
         out_shape=[
-            jax.ShapeDtypeStruct((1, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
-            jax.ShapeDtypeStruct((3, Rp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+            jax.ShapeDtypeStruct((fold, Rp // fold), jnp.float32),
+            jax.ShapeDtypeStruct((fold, Rp // fold), jnp.int32),
+            jax.ShapeDtypeStruct((3 * fold, Rp // fold), jnp.float32),
+            jax.ShapeDtypeStruct((fold, Rp // fold), jnp.int32),
         ],
         interpret=interpret,
-    )(scene.nodes, scene.leaves, Pt, Dt, actv)
+    )(scene.nodes, scene.leaves, Pt, Dt, actt)
 
+    un = lambda x: _unfold(x, n_tiles, tile, fold)[:R]
+    normal = jnp.stack(
+        [un(n[0:fold]), un(n[fold : 2 * fold]), un(n[2 * fold :])], axis=-1
+    )
     return PacketHit(
-        t=t[0, :R],
-        which=which[0, :R],
-        normal=n[:, :R].T,
-        bad=bad[0, :R] > 0,
+        t=un(t),
+        which=un(which),
+        normal=normal,
+        bad=un(bad) > 0,
     )

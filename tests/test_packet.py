@@ -140,6 +140,6 @@ def test_packet_empty_scene():
     packed = pack_scene(data, procedural_sky(64))
     P = np.zeros((64, 3), np.float32)
     D = np.tile(np.array([0, 0, -1.0], np.float32), (64, 1))
-    got = packet_trace(packed, jnp.asarray(P), jnp.asarray(D), tile=64, interpret=True)
+    got = packet_trace(packed, jnp.asarray(P), jnp.asarray(D), tile=128, interpret=True)
     assert (np.asarray(got.t) >= 1e7).all()
     assert not np.asarray(got.bad).any()
