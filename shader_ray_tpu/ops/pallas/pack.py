@@ -76,19 +76,28 @@ class PackedScene:
     they are traced arguments.
     """
 
-    def __init__(self, nodes, leaves, env,
-                 root: int, node_count: int, leaf_count: int, tri_count: int):
+    def __init__(self, nodes, leaves, links_smem, meta_smem, env,
+                 root: int, node_count: int, leaf_count: int, tri_count: int,
+                 smem_ok: bool):
         self.nodes = nodes           # (ceil(N/4), 128) f32, int lanes bit-packed
         self.leaves = leaves         # (groups*GROUP_ROWS, 126) f32
+        # scalar-memory fast path (smem_ok): per-node links and leaf
+        # metadata as SMEM tables so the walk's serial chain uses true
+        # scalar loads instead of vector-reduce extractions.
+        # 1-D layouts: 2-D SMEM windows get lane-padded to 128 (16x blowup)
+        self.links_smem = links_smem  # (N*8,) i32: hit<<16 | miss&0xffff, idx g*8+octant
+        self.meta_smem = meta_smem    # (N*2,) i32: [leaf_row, count<<24 | tri_base]
         self.env = env               # (He, We, 3) f32 — MXU sampling res
         self.root = int(root)
         self.node_count = int(node_count)
         self.leaf_count = int(leaf_count)
         self.tri_count = int(tri_count)
+        self.smem_ok = bool(smem_ok)
 
     def tree_flatten(self):
-        leaves = (self.nodes, self.leaves, self.env)
-        aux = (self.root, self.node_count, self.leaf_count, self.tri_count)
+        leaves = (self.nodes, self.leaves, self.links_smem, self.meta_smem, self.env)
+        aux = (self.root, self.node_count, self.leaf_count, self.tri_count,
+               self.smem_ok)
         return leaves, aux
 
     @classmethod
@@ -155,14 +164,31 @@ def pack_scene(
     He, We = env_size
     env_small = _resize_env(np.asarray(env, np.float32), He, We)
 
+    # SMEM fast-path tables (16-bit links need node ids < 32768;
+    # tri_base must fit 24 bits)
+    smem_ok = n < 32768 and int(data.node_objects[:, 0].max(initial=0)) < (1 << 24)
+    links = np.where(hm < 0, 0xFFFF, hm).astype(np.int64)  # (8, N, 2)
+    links_packed = ((links[:, :, 0] << 16) | links[:, :, 1]).astype(np.uint32)
+    links_smem = np.ascontiguousarray(links_packed.T).view(np.int32).reshape(-1)
+    meta_smem = np.zeros((n, 2), np.int32)
+    meta_smem[:, 0] = leaf_row_of
+    meta_smem[:, 1] = (
+        (nodes_i[:, L_LEAF_COUNT].astype(np.int64) << 24)
+        | nodes_i[:, L_TRI_BASE].astype(np.int64)
+    ).astype(np.uint32).view(np.int32)
+    meta_smem = meta_smem.reshape(-1)
+
     return PackedScene(
         nodes=jnp.asarray(node_rows),
         leaves=jnp.asarray(leaves),
+        links_smem=jnp.asarray(np.ascontiguousarray(links_smem)),
+        meta_smem=jnp.asarray(meta_smem),
         env=jnp.asarray(env_small),
         root=int(data.tree_root),
         node_count=n,
         leaf_count=L,
         tri_count=int(data.triangle_count),
+        smem_ok=smem_ok,
     )
 
 

@@ -69,11 +69,14 @@ class PacketHit(NamedTuple):
     which: jnp.ndarray   # (R,) i32 BVH-order triangle id, -1 = none
     normal: jnp.ndarray  # (R, 3) f32 interpolated object-space normal
     bad: jnp.ndarray     # (R,) bool
+    stats: jnp.ndarray   # (n_packets, 2) i32: (node steps, leaf visits)
 
 
 def _kernel(
     nodes_ref,
     leaves_ref,
+    links_ref,
+    meta_ref,
     P_ref,
     D_ref,
     act_ref,
@@ -81,6 +84,7 @@ def _kernel(
     which_ref,
     n_ref,
     bad_ref,
+    stats_ref,
     *,
     root: int,
     max_steps: int,
@@ -109,21 +113,9 @@ def _kernel(
         + 2 * (jnp.sum(Dy * actf) > 0.0).astype(i32)
         + 4 * (jnp.sum(Dz * actf) > 0.0).astype(i32)
     )
-    hit_lane = L_LINKS + 2 * octant  # scalar
-    lane_iota = jax.lax.broadcasted_iota(i32, (1, NODE_LANES), 1)
-
-    def extract_i(rowi, lane):
-        return jnp.sum(jnp.where(lane_iota == lane, rowi, 0))
 
 
-
-    def leaf_tests(rowi, boxhit, t0, t1, t, which, nx, ny, nz):
-        # clamp: cond branches may be traced/executed speculatively and
-        # a branch node carries lrow = -1 (results are masked by count)
-        lrow = jnp.maximum(extract_i(rowi, L_LEAF_ROW), 0)
-        tbase = extract_i(rowi, L_TRI_BASE)
-        lcount = extract_i(rowi, L_LEAF_COUNT)
-
+    def leaf_tests(lrow, tbase, lcount, boxhit, t0, t1, t, which, nx, ny, nz):
         grp = lrow // LEAVES_PER_GROUP
         sub = lrow % LEAVES_PER_GROUP
         base = pl.multiple_of(grp * GROUP_ROWS, GROUP_ROWS)
@@ -188,7 +180,7 @@ def _kernel(
         return keep
 
     def body(c):
-        g, steps, t, which, nx, ny, nz = c
+        g, steps, leafs, t, which, nx, ny, nz = c
         row = nodes_ref[pl.ds(g // NODES_PER_ROW, 1), :]  # (1, 128)
         rowf = jax.lax.switch(
             g % NODES_PER_ROW,
@@ -197,7 +189,18 @@ def _kernel(
                 for s in range(NODES_PER_ROW)
             ],
         )
-        rowi = pltpu.bitcast(rowf, jnp.int32)
+
+        # scalar metadata: SMEM loads keep the walk's serial chain off
+        # the vector unit (links packed hit<<16 | miss&0xffff; leaf
+        # meta packed count<<24 | tri_base)
+        hm = links_ref[g * 8 + octant]
+        hit_link = hm >> 16        # sign-extends the -1 sentinel
+        mlow = hm & 0xFFFF
+        miss_link = jnp.where(mlow == 0xFFFF, -1, mlow)
+        lrow_s = meta_ref[2 * g]
+        meta1 = meta_ref[2 * g + 1]
+        lcount = meta1 >> 24
+        tbase = meta1 & 0xFFFFFF
 
         ef = lambda c: jnp.sum(rowf[0:1, c : c + 1])  # scalar extract
         bminx, bminy, bminz = ef(L_BOXMIN), ef(L_BOXMIN + 1), ef(L_BOXMIN + 2)
@@ -221,17 +224,23 @@ def _kernel(
         boxhit = (t0 < t1) & (t0 < t) & act
         anyhit = jnp.any(boxhit)
 
-        lcount = extract_i(rowi, L_LEAF_COUNT)
-
+        is_leaf_visit = anyhit & (lcount > 0)
         t, which, nx, ny, nz = jax.lax.cond(
-            anyhit & (lcount > 0),
-            lambda: leaf_tests(rowi, boxhit, t0, t1, t, which, nx, ny, nz),
+            is_leaf_visit,
+            lambda: leaf_tests(
+                jnp.maximum(lrow_s, 0), tbase, lcount,
+                boxhit, t0, t1, t, which, nx, ny, nz,
+            ),
             lambda: (t, which, nx, ny, nz),
         )
 
-        link_lane = jnp.where(anyhit, hit_lane, hit_lane + 1)
-        g_next = extract_i(rowi, link_lane)
-        return g_next, steps + 1, t, which, nx, ny, nz
+        g_next = jnp.where(anyhit, hit_link, miss_link)
+        return (
+            g_next,
+            steps + 1,
+            leafs + is_leaf_visit.astype(i32),
+            t, which, nx, ny, nz,
+        )
 
     # a packet with no active lanes skips the walk entirely (matters
     # for late bounces and gated shadow packets)
@@ -239,13 +248,14 @@ def _kernel(
     init = (
         g0,
         jnp.int32(0),
+        jnp.int32(0),
         jnp.full((F, C), INFINITELY_FAR, f32),
         jnp.full((F, C), -1, i32),
         jnp.zeros((F, C), f32),
         jnp.zeros((F, C), f32),
         jnp.zeros((F, C), f32),
     )
-    g, steps, t, which, nx, ny, nz = jax.lax.while_loop(cond, body, init)
+    g, steps, leafs, t, which, nx, ny, nz = jax.lax.while_loop(cond, body, init)
 
     # budget exhausted mid-walk (fs:436-438 analog); an any-hit early
     # exit leaves g >= 0 legitimately, so gate on the step count
@@ -257,6 +267,13 @@ def _kernel(
     n_ref[F : 2 * F, :] = ny
     n_ref[2 * F :, :] = nz
     bad_ref[:, :] = badv
+    # vector-composed stats block (scalar stores to VMEM unsupported)
+    ri = jax.lax.broadcasted_iota(i32, (8, 128), 0)
+    ci = jax.lax.broadcasted_iota(i32, (8, 128), 1)
+    stats_ref[:, :] = jnp.where(
+        (ri == 0) & (ci == 0), steps,
+        jnp.where((ri == 0) & (ci == 1), leafs, 0),
+    )
 
 
 def _fold(comp: jnp.ndarray, n_tiles: int, tile: int, fold: int) -> jnp.ndarray:
@@ -289,6 +306,10 @@ def packet_trace(
     lanes).  R is padded internally to a tile multiple.
     """
     assert tile % 128 == 0, "tile must be a multiple of 128"
+    assert scene.smem_ok, (
+        "packet engine requires node count < 32768 and tri base < 2^24 "
+        "(SMEM link tables); larger scenes need the wavefront engine"
+    )
     fold = FOLD if tile % (FOLD * 128) == 0 else max(1, tile // 128)
     R = P.shape[0]
     pad = (-R) % tile
@@ -329,37 +350,49 @@ def packet_trace(
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
+    )
     rays = lambda rows: pl.BlockSpec(
         (rows, C), lambda i: (0, i), memory_space=pltpu.VMEM
     )
 
-    t, which, n, bad = pl.pallas_call(
+    t, which, n, bad, stats = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             full(scene.nodes.shape),
             full(scene.leaves.shape),
+            smem(scene.links_smem.shape),
+            smem(scene.meta_smem.shape),
             rays(3 * fold),
             rays(3 * fold),
             rays(fold),
         ],
-        out_specs=[rays(fold), rays(fold), rays(3 * fold), rays(fold)],
+        out_specs=[
+            rays(fold), rays(fold), rays(3 * fold), rays(fold),
+            pl.BlockSpec((8, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((fold, Rp // fold), jnp.float32),
             jax.ShapeDtypeStruct((fold, Rp // fold), jnp.int32),
             jax.ShapeDtypeStruct((3 * fold, Rp // fold), jnp.float32),
             jax.ShapeDtypeStruct((fold, Rp // fold), jnp.int32),
+            jax.ShapeDtypeStruct((8, n_tiles * 128), jnp.int32),
         ],
         interpret=interpret,
-    )(scene.nodes, scene.leaves, Pt, Dt, actt)
+    )(scene.nodes, scene.leaves, scene.links_smem, scene.meta_smem, Pt, Dt, actt)
 
     un = lambda x: _unfold(x, n_tiles, tile, fold)[:R]
     normal = jnp.stack(
         [un(n[0:fold]), un(n[fold : 2 * fold]), un(n[2 * fold :])], axis=-1
     )
+    # stats blocks: per tile i, lane i*128 carries (steps, leafs)
+    per_tile = stats[0].reshape(n_tiles, 128)[:, 0:2]
     return PacketHit(
         t=un(t),
         which=un(which),
         normal=normal,
         bad=un(bad) > 0,
+        stats=per_tile,
     )
