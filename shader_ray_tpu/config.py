@@ -55,7 +55,10 @@ class Config:
 
     # --- TPU engine knobs (new; no reference analog) ---
     engine: str = "auto"             # "jax" | "pallas" | "auto"
-    ray_tile: int = 2048             # rays per Pallas grid step
+    ray_tile: int = 1024             # rays per Pallas grid step (best measured)
+    packet_interleave: int = 1       # interleaved sub-packet walks per step
+    packet_max_steps: int = 0        # packet walk budget; 0 = 2*nodes+2
+    debug_nans: bool = False         # jax_debug_nans (SURVEY 5.2 sanitizer)
     scene_cache: bool = True         # cache compiled scenes (SURVEY 5.4)
     use_native: str = "auto"         # "auto" | "never" | "require" C++ libscene
 
@@ -71,6 +74,9 @@ class Config:
         if os.environ.get("SRT_ENGINE"):
             c.engine = os.environ["SRT_ENGINE"]
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)
+        c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
+        c.packet_max_steps = _env_int("SRT_MAX_STEPS", c.packet_max_steps)
+        c.debug_nans = os.environ.get("SRT_DEBUG_NANS") is not None
         if os.environ.get("SRT_NATIVE"):
             c.use_native = os.environ["SRT_NATIVE"]
         return c

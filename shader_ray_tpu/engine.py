@@ -44,10 +44,17 @@ class Renderer:
         engine: str | None = None,
         mesh=None,
     ) -> None:
+        import jax
+
         cfg = config or get_config()
         self.cfg = cfg
         self.engine = engine or select_engine(cfg)
         self.mesh = mesh
+        if cfg.debug_nans:
+            # SURVEY 5.2: NaN sanitizer mode (the XLA analog of the
+            # reference's -ffinite-math-only "NaNs are UB" posture,
+            # inverted into a detector)
+            jax.config.update("jax_debug_nans", True)
         if self.engine == "packet":
             from shader_ray_tpu.ops.pallas.pack import pack_scene
 
@@ -70,7 +77,9 @@ class Renderer:
             from shader_ray_tpu.ops.engine_pallas import make_packet_render_fn
 
             return make_packet_render_fn(
-                self.packed, statics, tile=self.cfg.ray_tile
+                self.packed, statics,
+                tile=self.cfg.ray_tile,
+                interleave=self.cfg.packet_interleave,
             )
         if self.mesh is not None:
             from shader_ray_tpu.parallel import make_sharded_render_fn

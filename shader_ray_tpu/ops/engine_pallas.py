@@ -48,6 +48,7 @@ def trace_rays_packet(
     statics: RenderStatics,
     tile: int = 1024,
     interpret: bool = False,
+    interleave: int = 2,
 ) -> jnp.ndarray:
     """The 3-bounce trace loop over a full ray batch -> linear color."""
     R = rays.P.shape[0]
@@ -63,6 +64,7 @@ def trace_rays_packet(
         packet_trace,
         tile=tile,
         mt_eps=statics.mt_eps,
+        interleave=interleave,
         interpret=interpret,
     )
 
@@ -175,6 +177,7 @@ def render_frame_packet(
     statics: RenderStatics,
     tile: int = 1024,
     interpret: bool = False,
+    interleave: int = 2,
 ) -> jnp.ndarray:
     """Full frame -> (H, W, 3), tonemapped unless disabled."""
     W, H = statics.width, statics.height
@@ -221,11 +224,13 @@ def render_frame_packet(
                     dPdy=jnp.zeros_like(Ds), dDdy=dDdy,
                 )
                 acc = acc + trace_rays_packet(
-                    packed, sub, params, statics, tile, interpret
+                    packed, sub, params, statics, tile, interpret, interleave
                 )
         color = acc / (n * n)
     else:
-        color = trace_rays_packet(packed, rays, params, statics, tile, interpret)
+        color = trace_rays_packet(
+            packed, rays, params, statics, tile, interpret, interleave
+        )
 
     if bh > 1:
         color = _unswizzle(color, H, W, bh, bw)
@@ -239,6 +244,7 @@ def make_packet_render_fn(
     statics: RenderStatics,
     tile: int = 1024,
     interpret: bool = False,
+    interleave: int = 2,
 ):
     """Jit the packet frame function (scene threaded as an argument —
     see module docstring) and close a convenience wrapper over the
@@ -246,7 +252,9 @@ def make_packet_render_fn(
 
     @functools.partial(jax.jit, static_argnames=("statics_",))
     def _fn(packed_, params, statics_):
-        return render_frame_packet(packed_, params, statics_, tile, interpret)
+        return render_frame_packet(
+            packed_, params, statics_, tile, interpret, interleave
+        )
 
     def fn(params: FrameParams) -> jnp.ndarray:
         return _fn(packed, params, statics)

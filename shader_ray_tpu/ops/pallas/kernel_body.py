@@ -1,0 +1,291 @@
+"""Packet megakernel body with interleaved walks.
+
+Separated from packet.py for readability: this module holds only the
+Pallas kernel function.  See packet.py's module docstring for the
+design rationale.
+
+Interleaving: the serial chain of a single packet walk (node fetch ->
+slab test -> anyhit reduce -> link select -> next fetch) leaves the
+vector unit idle between dependent steps.  The kernel therefore runs
+``W`` INDEPENDENT sub-packet walks over disjoint lane ranges of the
+ray block, round-robining one step of each per loop iteration — W
+dependency chains overlap, hiding each other's latency.  A finished
+walk idles at g = -1 (its per-iteration work is skipped by lax.cond).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from shader_ray_tpu.ops.pallas.pack import (
+    GROUP_ROWS,
+    L_BOXMAX,
+    L_BOXMIN,
+    LEAF_RECORD,
+    LEAF_SLOTS,
+    LEAVES_PER_GROUP,
+    NODE_LANES,
+    NODES_PER_ROW,
+)
+
+INFINITELY_FAR = 1.0e7   # fs:115
+RANGE_T1 = 1.0e8         # fs:463,491
+
+
+def packet_kernel(
+    nodes_ref,
+    leaves_ref,
+    links_ref,
+    meta_ref,
+    P_ref,
+    D_ref,
+    act_ref,
+    t_ref,
+    which_ref,
+    n_ref,
+    bad_ref,
+    *maybe_stats_ref,
+    root: int,
+    max_steps: int,
+    mt_eps: float,
+    tile: int,
+    fold: int,
+    walks: int,
+    any_hit: bool = False,
+    with_stats: bool = False,
+):
+    f32 = jnp.float32
+    i32 = jnp.int32
+    F = fold
+    C = tile // F          # full ray block is (F, C)
+    W = walks
+    CW = C // W            # lanes per sub-packet walk
+
+    def lanes(x, w):
+        return x[:, w * CW : (w + 1) * CW]
+
+    rays = []
+    for w in range(W):
+        Px, Py, Pz = (lanes(P_ref[0:F, :], w), lanes(P_ref[F : 2 * F, :], w),
+                      lanes(P_ref[2 * F :, :], w))
+        Dx, Dy, Dz = (lanes(D_ref[0:F, :], w), lanes(D_ref[F : 2 * F, :], w),
+                      lanes(D_ref[2 * F :, :], w))
+        act = lanes(act_ref[:, :], w) > 0
+        actf = act.astype(f32)
+        octant = (
+            (jnp.sum(Dx * actf) > 0.0).astype(i32)
+            + 2 * (jnp.sum(Dy * actf) > 0.0).astype(i32)
+            + 4 * (jnp.sum(Dz * actf) > 0.0).astype(i32)
+        )
+        rays.append(dict(
+            Px=Px, Py=Py, Pz=Pz, Dx=Dx, Dy=Dy, Dz=Dz,
+            invx=1.0 / Dx, invy=1.0 / Dy, invz=1.0 / Dz,
+            act=act, octant=octant,
+        ))
+
+    def leaf_tests(r, lrow, tbase, lcount, boxhit, t0, t1, t, which, nx, ny, nz):
+        grp = lrow // LEAVES_PER_GROUP
+        sub = lrow % LEAVES_PER_GROUP
+        base = pl.multiple_of(grp * GROUP_ROWS, GROUP_ROWS)
+        block = leaves_ref[pl.ds(base, GROUP_ROWS), :]
+        rec = jax.lax.switch(
+            sub,
+            [
+                (lambda s=s: block[0:LEAF_SLOTS, s * LEAF_RECORD : (s + 1) * LEAF_RECORD])
+                for s in range(LEAVES_PER_GROUP)
+            ],
+        )  # (10, 18): slot-major triangle records
+
+        Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
+        Dx, Dy, Dz = r["Dx"], r["Dy"], r["Dz"]
+        for k in range(LEAF_SLOTS):
+            # true scalar extraction (a reduction) — Mosaic folds
+            # broadcast+slice chains back into an unsupported
+            # (1,1)->(F,C) two-axis broadcast; scalar splat is native
+            e = lambda c: jnp.sum(rec[k : k + 1, c : c + 1])
+            v0x, v0y, v0z = e(0), e(1), e(2)
+            v1x, v1y, v1z = e(3), e(4), e(5)
+            v2x, v2y, v2z = e(6), e(7), e(8)
+
+            e0x, e0y, e0z = v1x - v0x, v1y - v0y, v1z - v0z
+            e1x, e1y, e1z = v0x - v2x, v0y - v2y, v0z - v2z
+            # M = cross(e1, D)  (fs:305)
+            Mx = e1y * Dz - e1z * Dy
+            My = e1z * Dx - e1x * Dz
+            Mz = e1x * Dy - e1y * Dx
+            det = e0x * Mx + e0y * My + e0z * Mz
+            ok = jnp.abs(det) >= mt_eps
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
+            Qx = Ty * e0z - Tz * e0y
+            Qy = Tz * e0x - Tx * e0z
+            Qz = Tx * e0y - Ty * e0x
+            d = -(e1x * Qx + e1y * Qy + e1z * Qz) * inv_det
+            ok = ok & (d <= t) & (d >= t0) & (d <= t1)
+            u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
+            ok = ok & (u >= 0.0) & (u <= 1.0)
+            v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
+            ok = ok & (v >= 0.0) & (u + v <= 1.0)
+            take = ok & boxhit & (k < lcount)
+
+            t = jnp.where(take, d, t)
+            which = jnp.where(take, tbase + k, which)
+            w0 = 1.0 - u - v
+            n0x, n0y, n0z = e(9), e(10), e(11)
+            n1x, n1y, n1z = e(12), e(13), e(14)
+            n2x, n2y, n2z = e(15), e(16), e(17)
+            nx = jnp.where(take, n0x * w0 + n1x * u + n2x * v, nx)
+            ny = jnp.where(take, n0y * w0 + n1y * u + n2y * v, ny)
+            nz = jnp.where(take, n0z * w0 + n1z * u + n2z * v, nz)
+        return t, which, nx, ny, nz
+
+    def walk_step(w, st):
+        """One node step of sub-packet walk w.  Must be safe to run
+        with g < 0 (branch-free interleave merges the result away)."""
+        g, steps, leafs, t, which, nx, ny, nz = st
+        r = rays[w]
+        g = jnp.maximum(g, 0)
+        row = nodes_ref[pl.ds(g // NODES_PER_ROW, 1), :]  # (1, 128)
+        rowf = jax.lax.switch(
+            g % NODES_PER_ROW,
+            [
+                (lambda s=s: row[0:1, s * NODE_LANES : (s + 1) * NODE_LANES])
+                for s in range(NODES_PER_ROW)
+            ],
+        )
+
+        # scalar metadata from SMEM (links packed hit<<16 | miss&0xffff,
+        # leaf meta packed count<<24 | tri_base)
+        hm = links_ref[g * 8 + r["octant"]]
+        hit_link = hm >> 16        # sign-extends the -1 sentinel
+        mlow = hm & 0xFFFF
+        miss_link = jnp.where(mlow == 0xFFFF, -1, mlow)
+        lrow_s = meta_ref[2 * g]
+        meta1 = meta_ref[2 * g + 1]
+        lcount = meta1 >> 24
+        tbase = meta1 & 0xFFFFFF
+
+        ef = lambda c: jnp.sum(rowf[0:1, c : c + 1])  # scalar extract
+        bminx, bminy, bminz = ef(L_BOXMIN), ef(L_BOXMIN + 1), ef(L_BOXMIN + 2)
+        bmaxx, bmaxy, bmaxz = ef(L_BOXMAX), ef(L_BOXMAX + 1), ef(L_BOXMAX + 2)
+
+        Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
+        tax = (bminx - Px) * r["invx"]
+        tbx = (bmaxx - Px) * r["invx"]
+        tay = (bminy - Py) * r["invy"]
+        tby = (bmaxy - Py) * r["invy"]
+        taz = (bminz - Pz) * r["invz"]
+        tbz = (bmaxz - Pz) * r["invz"]
+        lox = jnp.minimum(tax, tbx)
+        hix = jnp.maximum(tax, tbx)
+        loy = jnp.minimum(tay, tby)
+        hiy = jnp.maximum(tay, tby)
+        loz = jnp.minimum(taz, tbz)
+        hiz = jnp.maximum(taz, tbz)
+        t0 = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, 0.0))
+        t1 = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, RANGE_T1))
+
+        boxhit = (t0 < t1) & (t0 < t) & r["act"]
+        anyhit = jnp.any(boxhit)
+
+        is_leaf_visit = anyhit & (lcount > 0)
+        t, which, nx, ny, nz = jax.lax.cond(
+            is_leaf_visit,
+            lambda: leaf_tests(
+                r, jnp.maximum(lrow_s, 0), tbase, lcount,
+                boxhit, t0, t1, t, which, nx, ny, nz,
+            ),
+            lambda: (t, which, nx, ny, nz),
+        )
+
+        g_next = jnp.where(anyhit, hit_link, miss_link)
+        if any_hit:
+            # occlusion query: finish as soon as every active lane hit
+            done = ~jnp.any(r["act"] & (t >= INFINITELY_FAR))
+            g_next = jnp.where(done, -1, g_next)
+        # budget exhaustion only counts if the walk wasn't finishing
+        # anyway (-2 marks bad; a natural -1 exit at the last step is fine)
+        g_next = jnp.where((steps + 1 >= max_steps) & (g_next >= 0), -2, g_next)
+        return (
+            g_next,
+            steps + 1,
+            leafs + is_leaf_visit.astype(i32),
+            t, which, nx, ny, nz,
+        )
+
+    def cond(states):
+        alive = None
+        for w in range(W):
+            a = states[w][0] >= 0
+            alive = a if alive is None else (alive | a)
+        return alive
+
+    def body(states):
+        out = []
+        for w in range(W):
+            st = states[w]
+            if W == 1:
+                # single walk: a real branch costs nothing to predict
+                st = jax.lax.cond(
+                    st[0] >= 0,
+                    lambda st=st, w=w: walk_step(w, st),
+                    lambda st=st: st,
+                )
+            else:
+                # branch-free: always step, discard results of finished
+                # walks — W independent chains interleave without the
+                # serialization a lax.cond imposes
+                alive = st[0] >= 0
+                st2 = walk_step(w, st)
+                st = tuple(
+                    jnp.where(alive, a, b) for a, b in zip(st2, st)
+                )
+            out.append(st)
+        return tuple(out)
+
+    def init_state(w):
+        g0 = jnp.where(
+            jnp.any(rays[w]["act"]), jnp.int32(root), jnp.int32(-1)
+        )
+        return (
+            g0,
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.full((F, CW), INFINITELY_FAR, f32),
+            jnp.full((F, CW), -1, i32),
+            jnp.zeros((F, CW), f32),
+            jnp.zeros((F, CW), f32),
+            jnp.zeros((F, CW), f32),
+        )
+
+    states = jax.lax.while_loop(
+        cond, body, tuple(init_state(w) for w in range(W))
+    )
+
+    steps_total = jnp.int32(0)
+    leafs_total = jnp.int32(0)
+    for w in range(W):
+        g, steps, leafs, t, which, nx, ny, nz = states[w]
+        sl = slice(w * CW, (w + 1) * CW)
+        overflow = g == -2  # budget exhausted mid-walk (fs:436-438)
+        badv = jnp.where(rays[w]["act"] & overflow, 1, 0).astype(i32)
+        t_ref[:, sl] = jnp.where(badv > 0, -1.0, t)
+        which_ref[:, sl] = jnp.where(badv > 0, -1, which)
+        n_ref[0:F, sl] = nx
+        n_ref[F : 2 * F, sl] = ny
+        n_ref[2 * F :, sl] = nz
+        bad_ref[:, sl] = badv
+        steps_total = steps_total + steps
+        leafs_total = leafs_total + leafs
+
+    if with_stats:
+        # vector-composed stats block (scalar VMEM stores unsupported)
+        stats_ref = maybe_stats_ref[0]
+        ri = jax.lax.broadcasted_iota(i32, (8, 128), 0)
+        ci = jax.lax.broadcasted_iota(i32, (8, 128), 1)
+        stats_ref[:, :] = jnp.where(
+            (ri == 0) & (ci == 0), steps_total,
+            jnp.where((ri == 0) & (ci == 1), leafs_total, 0),
+        )
