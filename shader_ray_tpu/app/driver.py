@@ -148,6 +148,47 @@ class App:
         self.redraw = False
         return frame
 
+    def render_progressive(self, samples: int = 4) -> np.ndarray:
+        """Progressive accumulation: average ``samples`` sub-pixel
+        jittered frames in linear space, tonemap once (SURVEY.md 5.7
+        progressive-refinement design; the reference renders 1 spp).
+        Uses a Halton (2,3) jitter sequence for even coverage."""
+        import jax.numpy as jnp
+
+        statics = self._statics()._replace(do_tonemap=False)
+        key = ("progressive", self.which, self.width, self.height)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = self.renderer.make_fn(statics)
+            self._fn_cache[key] = fn
+
+        def halton(i, b):
+            f, r = 1.0, 0.0
+            while i > 0:
+                f /= b
+                r += f * (i % b)
+                i //= b
+            return r
+
+        acc = None
+        base = self.frame_params()
+        for s in range(samples):
+            jx = halton(s + 1, 2) - 0.5
+            jy = halton(s + 1, 3) - 0.5
+            params = base._replace(
+                pixel_jitter=jnp.asarray([jx, jy], jnp.float32)
+            )
+            frame = np.asarray(fn(params))
+            acc = frame if acc is None else acc + frame
+        linear = acc / samples
+        from shader_ray_tpu.ops.shading import tonemap_and_gamma
+
+        self._frame = np.asarray(
+            tonemap_and_gamma(jnp.asarray(linear), self.cfg.use_filmic)
+        )
+        self.redraw = False
+        return self._frame
+
     # --- screenshot (reference ray.cpp:730-787, 's' key) --------------
 
     def screenshot(self, path: str = "color.ppm") -> str:

@@ -32,6 +32,7 @@ extra (headless equivalents of mouse gestures):
   drag DX DY   trackball-rotate current target by a pixel drag
   zoom DY      shift-drag zoom by DY pixels (negative = zoom in)
   render [F]   force a frame; optionally write it to file F (.ppm)
+  prog [N]     progressive render: average N jittered samples (default 4)
   help         this text
 """
 
@@ -96,6 +97,14 @@ def repl(app, out_path: str, stream) -> None:
             app.drag(float(parts[1]), float(parts[2]))
         elif cmd == "zoom" and len(parts) == 2:
             app.drag(0.0, float(parts[1]), shift=True)
+        elif cmd == "prog":
+            n = int(parts[1]) if len(parts) > 1 else 4
+            frame = app.render_progressive(n)
+            from shader_ray_tpu.utils.ppm import write_ppm
+
+            write_ppm(out_path, frame)
+            print(f"wrote {out_path} ({n} samples)", file=sys.stderr)
+            continue
         elif cmd == "render":
             app.redraw = True
             frame = app.render()

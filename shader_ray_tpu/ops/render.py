@@ -58,6 +58,9 @@ class FrameParams(NamedTuple):
     specular_color: jnp.ndarray         # (3,)
     diffuse_color: jnp.ndarray          # (3,)
     image_plane_width: jnp.ndarray      # () = 2*tan(fov/2)
+    # sub-pixel jitter in pixels, for progressive accumulation /
+    # antialiasing (no reference analog; the GL path is 1 spp)
+    pixel_jitter: jnp.ndarray = None
 
 
 class RenderStatics(NamedTuple):
@@ -110,8 +113,10 @@ def generate_rays(statics: RenderStatics, params: FrameParams) -> Rays:
 
     jj = jnp.arange(H, dtype=jnp.float32)[:, None]  # row, 0 = top
     ii = jnp.arange(W, dtype=jnp.float32)[None, :]
-    u = (ii + 0.5) / W
-    v = 1.0 - (jj + 0.5) / H  # v=0 bottom (vs:43-45)
+    jx = 0.0 if params.pixel_jitter is None else params.pixel_jitter[0]
+    jy = 0.0 if params.pixel_jitter is None else params.pixel_jitter[1]
+    u = (ii + 0.5 + jx) / W
+    v = 1.0 - (jj + 0.5 + jy) / H  # v=0 bottom (vs:43-45)
     d_eye = jnp.stack(
         [
             jnp.broadcast_to(ipw * (u - 0.5), (H, W)),
@@ -361,4 +366,5 @@ def default_frame_params(
         specular_color=jnp.asarray(np.array([1.0, 0.71, 0.29], np.float32)),
         diffuse_color=jnp.asarray(np.zeros(3, np.float32)),
         image_plane_width=jnp.asarray(2.0 * np.tan(fov / 2.0), jnp.float32),
+        pixel_jitter=jnp.zeros(2, jnp.float32),
     )
