@@ -21,13 +21,9 @@ from jax.experimental import pallas as pl
 
 from shader_ray_tpu.ops.pallas.pack import (
     GROUP_ROWS,
-    L_BOXMAX,
-    L_BOXMIN,
     LEAF_RECORD,
     LEAF_SLOTS,
     LEAVES_PER_GROUP,
-    NODE_LANES,
-    NODES_PER_ROW,
 )
 
 INFINITELY_FAR = 1.0e7   # fs:115
@@ -35,10 +31,11 @@ RANGE_T1 = 1.0e8         # fs:463,491
 
 
 def packet_kernel(
-    nodes_ref,
     leaves_ref,
     links_ref,
+    boxes_ref,
     meta_ref,
+    tribase_ref,
     P_ref,
     D_ref,
     act_ref,
@@ -53,6 +50,7 @@ def packet_kernel(
     tile: int,
     fold: int,
     walks: int,
+    box_quant: tuple,
     any_hit: bool = False,
     with_stats: bool = False,
 ):
@@ -141,35 +139,37 @@ def packet_kernel(
             nz = jnp.where(take, n0z * w0 + n1z * u + n2z * v, nz)
         return t, which, nx, ny, nz
 
+    ox, oy, oz, sx, sy, sz = box_quant
+
     def walk_step(w, st):
         """One node step of sub-packet walk w.  Must be safe to run
-        with g < 0 (branch-free interleave merges the result away)."""
+        with g < 0 (branch-free interleave merges the result away).
+        All node data comes from SMEM scalars — the serial chain never
+        touches the vector unit until the slab test itself."""
         g, steps, leafs, t, which, nx, ny, nz = st
         r = rays[w]
         g = jnp.maximum(g, 0)
-        row = nodes_ref[pl.ds(g // NODES_PER_ROW, 1), :]  # (1, 128)
-        rowf = jax.lax.switch(
-            g % NODES_PER_ROW,
-            [
-                (lambda s=s: row[0:1, s * NODE_LANES : (s + 1) * NODE_LANES])
-                for s in range(NODES_PER_ROW)
-            ],
-        )
 
-        # scalar metadata from SMEM (links packed hit<<16 | miss&0xffff,
-        # leaf meta packed count<<24 | tri_base)
+        # links packed hit<<16 | miss&0xffff; meta packed
+        # count<<26 | leaf_row; boxes 16-bit fixed point qmin<<16|qmax
         hm = links_ref[g * 8 + r["octant"]]
         hit_link = hm >> 16        # sign-extends the -1 sentinel
         mlow = hm & 0xFFFF
         miss_link = jnp.where(mlow == 0xFFFF, -1, mlow)
-        lrow_s = meta_ref[2 * g]
-        meta1 = meta_ref[2 * g + 1]
-        lcount = meta1 >> 24
-        tbase = meta1 & 0xFFFFFF
+        meta = meta_ref[g]
+        lcount = (meta >> 26) & 0x3F
+        lrow_s = meta & 0x3FFFFFF
 
-        ef = lambda c: jnp.sum(rowf[0:1, c : c + 1])  # scalar extract
-        bminx, bminy, bminz = ef(L_BOXMIN), ef(L_BOXMIN + 1), ef(L_BOXMIN + 2)
-        bmaxx, bmaxy, bmaxz = ef(L_BOXMAX), ef(L_BOXMAX + 1), ef(L_BOXMAX + 2)
+        f32 = jnp.float32
+        wx = boxes_ref[3 * g]
+        wy = boxes_ref[3 * g + 1]
+        wz = boxes_ref[3 * g + 2]
+        bminx = ((wx >> 16) & 0xFFFF).astype(f32) * sx + ox
+        bmaxx = (wx & 0xFFFF).astype(f32) * sx + ox
+        bminy = ((wy >> 16) & 0xFFFF).astype(f32) * sy + oy
+        bmaxy = (wy & 0xFFFF).astype(f32) * sy + oy
+        bminz = ((wz >> 16) & 0xFFFF).astype(f32) * sz + oz
+        bmaxz = (wz & 0xFFFF).astype(f32) * sz + oz
 
         Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
         tax = (bminx - Px) * r["invx"]
@@ -194,7 +194,7 @@ def packet_kernel(
         t, which, nx, ny, nz = jax.lax.cond(
             is_leaf_visit,
             lambda: leaf_tests(
-                r, jnp.maximum(lrow_s, 0), tbase, lcount,
+                r, lrow_s, tribase_ref[lrow_s], lcount,
                 boxhit, t0, t1, t, which, nx, ny, nz,
             ),
             lambda: (t, which, nx, ny, nz),

@@ -4,23 +4,23 @@ Layout principle: every fetch in the kernel is a *scalar-indexed
 sublane slice* (the one fast dynamic access Mosaic gives us), so each
 BVH node and each leaf is one table ROW.
 
-VMEM lays arrays out in (8, 128) tiles, so a row narrower than 128
-lanes is silently padded 128-wide — a naive 1-node-per-32-lane table
-would inflate 4x and blow VMEM at bunny scale.  Layout v2 therefore
-packs FOUR nodes per 128-lane row; the kernel selects the 32-lane
-group by ``node & 3`` with a static-slice switch.
+Node data lives entirely in SCALAR memory (v4): the walk's serial
+chain (fetch -> slab -> anyhit -> link) then runs on the scalar unit
+with no vector-register roundtrips.  SMEM is ~1 MB, so everything is
+bit-packed into flat i32 tables (2-D SMEM windows lane-pad to 128):
 
-Node group lanes (within the node's 32-lane slot; integers are i32
-bit patterns stored in the f32 table — the kernel bitcasts the row):
-  0-2   boxmin xyz
-  3-5   boxmax xyz
-  6-21  hit/miss links for the 8 ray octants: lane 6+2*o = hit link,
-        7+2*o = miss link (node row index; -1 = terminate)
-  22    leaf row index into the leaf tables (-1 = branch)
-  23    leaf triangle count, capped at max_leaf_tests (the reference
-        also tests at most the first 10 triangles of a leaf,
-        raytracer.es.fs:382,410-424)
-  24    first-triangle index in BVH order (for hit ids)
+  links_smem  (N*8,)  hit<<16 | miss&0xffff per (node, octant);
+                      0xffff encodes the -1 terminate sentinel
+                      (reference world.cpp:229's 0x7fffffff analog)
+  boxes_smem  (N*3,)  per-axis qmin<<16 | qmax, 16-bit fixed point
+                      over the scene box (CONSERVATIVE: min rounded
+                      down, max up — never misses an intersection,
+                      only admits spurious candidate tests)
+  meta_smem   (N,)    count<<26 | leaf_row (count 0 = branch node;
+                      count capped at max_leaf_tests, matching the
+                      reference's 10-triangle leaf budget,
+                      raytracer.es.fs:382,410-424)
+  tribase_smem(L,)    first BVH-order triangle index per leaf
 
 Leaf layout (v3, slot-parallel): the kernel tests a leaf's <= 10
 triangles as ONE (10, rays) vector op, so triangle slots live on
@@ -47,19 +47,10 @@ from shader_ray_tpu.models.world import SceneData
 
 LANES = 128
 LEAF_SLOTS = 10
-NODE_LANES = 32       # lanes per node group
-NODES_PER_ROW = 4     # groups per 128-lane row
 LEAF_RECORD = 18      # lanes per leaf record (9 pos + 9 nrm)
 LEAVES_PER_GROUP = 7  # leaf records across 126 of 128 lanes
 GROUP_ROWS = 16       # rows per leaf group (10 slots used, 8-aligned)
-
-# node-row lane indices
-L_BOXMIN = 0
-L_BOXMAX = 3
-L_LINKS = 6
-L_LEAF_ROW = 22
-L_LEAF_COUNT = 23
-L_TRI_BASE = 24
+QBITS = 16            # fixed-point bits per box coordinate
 
 
 @jax.tree_util.register_pytree_node_class
@@ -76,28 +67,29 @@ class PackedScene:
     they are traced arguments.
     """
 
-    def __init__(self, nodes, leaves, links_smem, meta_smem, env,
+    def __init__(self, leaves, links_smem, boxes_smem, meta_smem,
+                 tribase_smem, env,
                  root: int, node_count: int, leaf_count: int, tri_count: int,
-                 smem_ok: bool):
-        self.nodes = nodes           # (ceil(N/4), 128) f32, int lanes bit-packed
-        self.leaves = leaves         # (groups*GROUP_ROWS, 126) f32
-        # scalar-memory fast path (smem_ok): per-node links and leaf
-        # metadata as SMEM tables so the walk's serial chain uses true
-        # scalar loads instead of vector-reduce extractions.
-        # 1-D layouts: 2-D SMEM windows get lane-padded to 128 (16x blowup)
-        self.links_smem = links_smem  # (N*8,) i32: hit<<16 | miss&0xffff, idx g*8+octant
-        self.meta_smem = meta_smem    # (N*2,) i32: [leaf_row, count<<24 | tri_base]
-        self.env = env               # (He, We, 3) f32 — MXU sampling res
+                 box_quant: tuple, smem_ok: bool):
+        self.leaves = leaves          # (groups*GROUP_ROWS, 126) f32 VMEM
+        self.links_smem = links_smem  # (N*8,) i32, idx g*8+octant
+        self.boxes_smem = boxes_smem  # (N*3,) i32 qmin<<16 | qmax per axis
+        self.meta_smem = meta_smem    # (N,) i32 count<<26 | leaf_row
+        self.tribase_smem = tribase_smem  # (L,) i32
+        self.env = env                # (He, We, 3) f32 — MXU sampling res
         self.root = int(root)
         self.node_count = int(node_count)
         self.leaf_count = int(leaf_count)
         self.tri_count = int(tri_count)
+        # static dequant affine: (ox, oy, oz, sx, sy, sz)
+        self.box_quant = tuple(float(v) for v in box_quant)
         self.smem_ok = bool(smem_ok)
 
     def tree_flatten(self):
-        leaves = (self.nodes, self.leaves, self.links_smem, self.meta_smem, self.env)
+        leaves = (self.leaves, self.links_smem, self.boxes_smem,
+                  self.meta_smem, self.tribase_smem, self.env)
         aux = (self.root, self.node_count, self.leaf_count, self.tri_count,
-               self.smem_ok)
+               self.box_quant, self.smem_ok)
         return leaves, aux
 
     @classmethod
@@ -106,8 +98,7 @@ class PackedScene:
 
     @property
     def vmem_bytes(self) -> int:
-        node_rows = -(-self.node_count // NODES_PER_ROW)
-        return (node_rows + self.leaves.shape[0]) * LANES * 4
+        return self.leaves.shape[0] * LANES * 4
 
 
 def pack_scene(
@@ -124,28 +115,9 @@ def pack_scene(
     leaf_row_of = np.full(n, -1, np.int32)
     leaf_row_of[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
 
-    nodes_f = np.zeros((n, NODE_LANES), np.float32)
-    nodes_i = np.zeros((n, NODE_LANES), np.int32)
-    nodes_f[:, L_BOXMIN : L_BOXMIN + 3] = data.node_boxes[:, 0:3]
-    nodes_f[:, L_BOXMAX : L_BOXMAX + 3] = data.node_boxes[:, 3:6]
-    # hitmiss (8, N, 2) -> interleaved hit/miss per octant
     hm = data.hitmiss  # (8, N, 2)
-    for o in range(8):
-        nodes_i[:, L_LINKS + 2 * o] = hm[o, :, 0]
-        nodes_i[:, L_LINKS + 2 * o + 1] = hm[o, :, 1]
     counts = np.minimum(data.node_objects[:, 1], max_leaf_tests).astype(np.int32)
-    nodes_i[:, L_LEAF_ROW] = leaf_row_of
-    nodes_i[:, L_LEAF_COUNT] = np.where(is_leaf, counts, 0)
-    nodes_i[:, L_TRI_BASE] = data.node_objects[:, 0]
-
-    # merge integer lanes as bit patterns into the f32 container, then
-    # pack NODES_PER_ROW node groups per 128-lane row
-    merged = nodes_f.copy()
-    int_lanes = slice(L_LINKS, L_TRI_BASE + 1)
-    merged[:, int_lanes] = nodes_i[:, int_lanes].view(np.float32)
-    rows = -(-n // NODES_PER_ROW)
-    node_rows = np.zeros((rows, NODES_PER_ROW * NODE_LANES), np.float32)
-    node_rows.reshape(-1, NODE_LANES)[:n] = merged
+    counts = np.where(is_leaf, counts, 0)
 
     # leaf groups: slot-major rows, LEAVES_PER_GROUP leaves across lanes
     groups = -(-L // LEAVES_PER_GROUP)
@@ -164,30 +136,47 @@ def pack_scene(
     He, We = env_size
     env_small = _resize_env(np.asarray(env, np.float32), He, We)
 
-    # SMEM fast-path tables (16-bit links need node ids < 32768;
-    # tri_base must fit 24 bits)
-    smem_ok = n < 32768 and int(data.node_objects[:, 0].max(initial=0)) < (1 << 24)
+    # SMEM tables (16-bit links need node ids < 32768; leaf_row must
+    # fit 26 bits — always true when n < 32768)
+    smem_ok = n < 32768
     links = np.where(hm < 0, 0xFFFF, hm).astype(np.int64)  # (8, N, 2)
     links_packed = ((links[:, :, 0] << 16) | links[:, :, 1]).astype(np.uint32)
     links_smem = np.ascontiguousarray(links_packed.T).view(np.int32).reshape(-1)
-    meta_smem = np.zeros((n, 2), np.int32)
-    meta_smem[:, 0] = leaf_row_of
-    meta_smem[:, 1] = (
-        (nodes_i[:, L_LEAF_COUNT].astype(np.int64) << 24)
-        | nodes_i[:, L_TRI_BASE].astype(np.int64)
-    ).astype(np.uint32).view(np.int32)
-    meta_smem = meta_smem.reshape(-1)
+
+    meta_smem = (
+        (counts.astype(np.int64) << 26) | np.maximum(leaf_row_of, 0)
+    ).astype(np.uint32).view(np.int32).reshape(-1)
+    tribase_smem = np.zeros(L, np.int32)
+    tribase_smem[: len(leaf_ids)] = data.node_objects[leaf_ids, 0]
+
+    # conservative 16-bit fixed-point boxes over the scene box
+    bmin = data.node_boxes[:, 0:3].astype(np.float64)
+    bmax = data.node_boxes[:, 3:6].astype(np.float64)
+    if n > 0 and data.triangle_count > 0:
+        off = bmin[data.tree_root].copy()
+        ext = bmax[data.tree_root] - off
+    else:
+        off = np.zeros(3)
+        ext = np.ones(3)
+    scale = np.maximum(ext, 1e-30) / ((1 << QBITS) - 1)
+    qmin = np.clip(np.floor((bmin - off) / scale), 0, (1 << QBITS) - 1)
+    qmax = np.clip(np.ceil((bmax - off) / scale), 0, (1 << QBITS) - 1)
+    boxes_smem = (
+        (qmin.astype(np.int64) << 16) | qmax.astype(np.int64)
+    ).astype(np.uint32).view(np.int32).reshape(-1)
 
     return PackedScene(
-        nodes=jnp.asarray(node_rows),
         leaves=jnp.asarray(leaves),
         links_smem=jnp.asarray(np.ascontiguousarray(links_smem)),
-        meta_smem=jnp.asarray(meta_smem),
+        boxes_smem=jnp.asarray(np.ascontiguousarray(boxes_smem)),
+        meta_smem=jnp.asarray(np.ascontiguousarray(meta_smem)),
+        tribase_smem=jnp.asarray(tribase_smem),
         env=jnp.asarray(env_small),
         root=int(data.tree_root),
         node_count=n,
         leaf_count=L,
         tri_count=int(data.triangle_count),
+        box_quant=(off[0], off[1], off[2], scale[0], scale[1], scale[2]),
         smem_ok=smem_ok,
     )
 

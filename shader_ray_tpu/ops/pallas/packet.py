@@ -135,6 +135,7 @@ def packet_trace(
         tile=tile,
         fold=fold,
         walks=walks,
+        box_quant=scene.box_quant,
         any_hit=any_hit,
         with_stats=with_stats,
     )
@@ -166,10 +167,11 @@ def packet_trace(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            full(scene.nodes.shape),
             full(scene.leaves.shape),
             smem(scene.links_smem.shape),
+            smem(scene.boxes_smem.shape),
             smem(scene.meta_smem.shape),
+            smem(scene.tribase_smem.shape),
             rays(3 * fold),
             rays(3 * fold),
             rays(fold),
@@ -177,7 +179,8 @@ def packet_trace(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(scene.nodes, scene.leaves, scene.links_smem, scene.meta_smem, Pt, Dt, actt)
+    )(scene.leaves, scene.links_smem, scene.boxes_smem, scene.meta_smem,
+      scene.tribase_smem, Pt, Dt, actt)
     t, which, n, bad = outs[:4]
     stats = outs[4] if with_stats else None
 
