@@ -223,8 +223,11 @@ class App:
         for i in range(bucket_count):
             bucket_start = frame_min + duration_range * i / bucket_count
             bucket_end = frame_min + duration_range * (i + 1) / bucket_count
+            last = i == bucket_count - 1
             count = sum(
-                1 for d in durations if bucket_start <= d < bucket_end
+                1
+                for d in durations
+                if bucket_start <= d and (d <= bucket_end if last else d < bucket_end)
             )
             fps = 1.0 / ((bucket_start + bucket_end) / 2.0)
             print(
@@ -234,7 +237,21 @@ class App:
             )
         rays = self.width * self.height * 6
         med = float(np.median(durations))
-        print(f"median {med * 1e3:.2f} ms, {rays / med / 1e6:.1f} Mrays/s", file=file)
+        print(f"median {med * 1e3:.2f} ms, {rays / med / 1e6:.1f} Mrays/s "
+              f"(potential, W*H*6)", file=file)
+        # honest accounting: rays actually cast (dead lanes at bounces
+        # 2/3 cast nothing); computed once, outside the timed loop
+        if hasattr(self.renderer, "make_count_fn"):
+            try:
+                cast = int(np.asarray(
+                    self.renderer.make_count_fn(self._statics())(params)
+                ))
+                print(
+                    f"rays cast {cast} ({cast / med / 1e6:.1f} Mrays/s measured)",
+                    file=file,
+                )
+            except Exception as e:
+                print(f"cast-ray accounting unavailable: {e}", file=file)
         return durations
 
     # --- keyboard (reference KeyCallback, ray.cpp:791-856) -------------

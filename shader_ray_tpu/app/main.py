@@ -46,17 +46,26 @@ def build_app(args) -> "App":
         load_world,
         scene_fingerprint,
     )
-    from shader_ray_tpu.utils.cache import cached_scene_data
+    from shader_ray_tpu.utils.cache import load_scene_data, save_scene_data
 
     cfg = get_config()
-    world = load_world(args.model, cfg)
-    if cfg.scene_cache:
-        key = scene_fingerprint(args.model, cfg)
-        data = cached_scene_data(
-            key, lambda: get_shader_data(world, cfg, verbose=True), verbose=True
-        )
+    data = None
+    key = scene_fingerprint(args.model, cfg) if cfg.scene_cache else None
+    if key is not None:
+        data = load_scene_data(key)
+    if data is not None:
+        # cache hit: skip the whole BVH build — the World is only
+        # needed for center/extent + view matrices
+        print(f"scene cache hit: {key}", file=sys.stderr)
+        world = load_world(args.model, cfg, build_bvh=False)
     else:
+        world = load_world(args.model, cfg)
         data = get_shader_data(world, cfg, verbose=True)
+        if key is not None:
+            try:
+                save_scene_data(key, data)
+            except OSError:
+                pass
     background = load_background(args.background)
 
     mesh = None

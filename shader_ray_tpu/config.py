@@ -54,7 +54,7 @@ class Config:
     fov_degrees: float = 40.0        # ray.cpp:1078
 
     # --- TPU engine knobs (new; no reference analog) ---
-    engine: str = "auto"             # "jax" | "pallas" | "auto"
+    engine: str = "auto"             # "packet" | "wavefront" | "auto"
     ray_tile: int = 1024             # rays per Pallas grid step (best measured)
     packet_interleave: int = 1       # interleaved sub-packet walks per step
     packet_max_steps: int = 0        # packet walk budget; 0 = 2*nodes+2

@@ -46,10 +46,13 @@ class Renderer:
     ) -> None:
         import jax
 
+        from shader_ray_tpu.utils.compcache import enable_compilation_cache
+
         cfg = config or get_config()
         self.cfg = cfg
         self.engine = engine or select_engine(cfg)
         self.mesh = mesh
+        enable_compilation_cache()
         if cfg.debug_nans:
             # SURVEY 5.2: NaN sanitizer mode (the XLA analog of the
             # reference's -ffinite-math-only "NaNs are UB" posture,
@@ -74,12 +77,19 @@ class Renderer:
 
     def make_fn(self, statics: RenderStatics):
         if self.engine == "packet":
+            import jax
+
             from shader_ray_tpu.ops.engine_pallas import make_packet_render_fn
 
             return make_packet_render_fn(
                 self.packed, statics,
                 tile=self.cfg.ray_tile,
+                # Mosaic is TPU-only; elsewhere (CPU test meshes) the
+                # kernel runs under the Pallas interpreter
+                interpret=jax.default_backend() != "tpu",
                 interleave=self.cfg.packet_interleave,
+                max_steps=self.cfg.packet_max_steps or None,
+                mesh=self.mesh,
             )
         if self.mesh is not None:
             from shader_ray_tpu.parallel import make_sharded_render_fn
@@ -88,3 +98,44 @@ class Renderer:
         from shader_ray_tpu.ops.render import make_render_fn
 
         return make_render_fn(self.scene, statics)
+
+    def make_count_fn(self, statics: RenderStatics):
+        """Jitted ``fn(params) -> rays actually cast`` for one frame:
+        the honest Mrays/s denominator (alive bounce rays + shadow rays
+        from lit hits), vs the W*H*6 potential-ray upper bound."""
+        import functools
+
+        import jax
+
+        from shader_ray_tpu.ops.render import generate_rays
+
+        if self.engine == "packet":
+            from shader_ray_tpu.ops.engine_pallas import trace_rays_packet
+
+            interpret = jax.default_backend() != "tpu"
+
+            @functools.partial(jax.jit, static_argnames=("statics_",))
+            def _fn(packed_, params, statics_):
+                rays, _ = generate_rays(statics_, params)
+                _, cast = trace_rays_packet(
+                    packed_, rays, params, statics_,
+                    tile=self.cfg.ray_tile, interpret=interpret,
+                    interleave=self.cfg.packet_interleave,
+                    max_steps=self.cfg.packet_max_steps or None,
+                    with_counts=True,
+                )
+                return cast
+
+            return lambda params: _fn(self.packed, params, statics)
+
+        from shader_ray_tpu.ops.render import trace_rays
+
+        @functools.partial(jax.jit, static_argnames=("statics_",))
+        def _fn(scene_, params, statics_):
+            rays, _ = generate_rays(statics_, params)
+            _, cast = trace_rays(
+                scene_, rays, params, statics_, with_counts=True
+            )
+            return cast
+
+        return lambda params: _fn(self.scene, params, statics)

@@ -83,8 +83,17 @@ class SceneData:
     node_axis: np.ndarray | None = None
 
 
-def load_world(filename: str, config: Config | None = None, verbose: bool = True) -> World:
-    """Load + compile a scene (reference load_world, world.cpp:46-134)."""
+def load_world(
+    filename: str,
+    config: Config | None = None,
+    verbose: bool = True,
+    build_bvh: bool = True,
+) -> World:
+    """Load + compile a scene (reference load_world, world.cpp:46-134).
+
+    ``build_bvh=False`` skips the BVH build (used when the flattened
+    SceneData comes from the scene cache — the World is then only
+    needed for center/extent and view matrices)."""
     cfg = config or get_config()
 
     ext = filename.rsplit(".", 1)[-1] if "." in filename else ""
@@ -104,10 +113,15 @@ def load_world(filename: str, config: Config | None = None, verbose: bool = True
     if verbose:
         print(f"Parsing: {time.monotonic() - then:f} seconds", file=sys.stderr)
 
-    return make_world(triangles, cfg, verbose=verbose)
+    return make_world(triangles, cfg, verbose=verbose, build_bvh=build_bvh)
 
 
-def make_world(triangles: TriangleSet, config: Config | None = None, verbose: bool = False) -> World:
+def make_world(
+    triangles: TriangleSet,
+    config: Config | None = None,
+    verbose: bool = False,
+    build_bvh: bool = True,
+) -> World:
     """Build a World from an already-loaded TriangleSet."""
     cfg = config or get_config()
     tcount = triangles.triangle_count
@@ -136,6 +150,14 @@ def make_world(triangles: TriangleSet, config: Config | None = None, verbose: bo
 
     then = time.monotonic()
     bvh = flat = order = None
+    if not build_bvh:
+        return World(
+            triangles=triangles,
+            bvh=None,
+            scene_center=scene_center,
+            scene_extent=scene_extent,
+            triangle_count=tcount,
+        )
     if cfg.use_native != "never":
         from shader_ray_tpu import native
 

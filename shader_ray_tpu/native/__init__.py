@@ -35,7 +35,7 @@ _lib_failed = False
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17",
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
         "-shared", "-fPIC", "-o", _SO, _SRC,
     ]
     try:

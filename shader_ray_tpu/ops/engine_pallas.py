@@ -49,8 +49,15 @@ def trace_rays_packet(
     tile: int = 1024,
     interpret: bool = False,
     interleave: int = 2,
+    max_steps: int | None = None,
+    with_counts: bool = False,
 ) -> jnp.ndarray:
-    """The 3-bounce trace loop over a full ray batch -> linear color."""
+    """The 3-bounce trace loop over a full ray batch -> linear color.
+
+    ``with_counts`` additionally returns the number of rays actually
+    cast (alive bounce rays + shadow rays from lit hits) — the honest
+    denominator for Mrays/s, vs the W*H*6 potential-ray upper bound
+    (BASELINE.md accounting)."""
     R = rays.P.shape[0]
     f32 = jnp.float32
 
@@ -58,17 +65,20 @@ def trace_rays_packet(
     modulation = jnp.ones((R, 3), f32)
     alive = jnp.ones((R,), bool)
     bad = jnp.zeros((R,), bool)
+    cast = jnp.zeros((), jnp.int32)
     r = rays
 
     trace = functools.partial(
         packet_trace,
         tile=tile,
+        max_steps=max_steps,
         mt_eps=statics.mt_eps,
         interleave=interleave,
         interpret=interpret,
     )
 
     for _bounce in range(statics.bounce_count):
+        cast = cast + jnp.sum(alive.astype(jnp.int32))
         objP = transform_point(params.object_matrix, r.P)
         objD = transform_dir(params.object_normal_matrix, r.D)
         hit = trace(packed, objP, objD, active=alive)
@@ -90,6 +100,7 @@ def trace_rays_packet(
         if statics.enable_diffuse:
             lcos = jnp.maximum(0.0, dot(world_n, params.light_dir))
             if statics.cast_shadows:
+                cast = cast + jnp.sum(hit_ok.astype(jnp.int32))
                 sP = transform_point(params.object_matrix, reflected.P)
                 sD = transform_dir(
                     params.object_normal_matrix,
@@ -132,7 +143,10 @@ def trace_rays_packet(
         env = sample_env_mxu(packed.env, r.D)
     color = accumulated + modulation * env
     bad_color = jnp.array([1.0, 0.0, 0.0], f32)
-    return jnp.where(bad[..., None], bad_color, color)
+    color = jnp.where(bad[..., None], bad_color, color)
+    if with_counts:
+        return color, cast
+    return color
 
 
 def _block_dims(H: int, W: int, tile: int) -> tuple[int, int]:
@@ -171,6 +185,50 @@ def _unswizzle(x: jnp.ndarray, H, W, bh, bw):
     )
 
 
+def _make_trace(packed, params, statics, tile, interpret, interleave,
+                max_steps, mesh):
+    """Trace closure over a (R, 3)-column Rays batch; when ``mesh`` is
+    given, shard the batch 1-D over its ``("rays",)`` axis with
+    shard_map — scene tables and params replicated, zero collectives in
+    the hot path (SURVEY.md 5.7-5.8; same layout as parallel/mesh.py's
+    wavefront path, applied to the production engine)."""
+
+    def local(packed_, params_, rays_):
+        return trace_rays_packet(
+            packed_, rays_, params_, statics, tile, interpret, interleave,
+            max_steps,
+        )
+
+    if mesh is None:
+        return lambda rays_: local(packed, params, rays_)
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+    def trace(rays_):
+        R = rays_.P.shape[0]
+        pad = (-R) % n_dev
+        if pad:
+            rays_ = Rays(*[
+                jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
+                for x in rays_
+            ])
+        color = sharded(packed, params, rays_)
+        return color[:R]
+
+    return trace
+
+
 def render_frame_packet(
     packed: PackedScene,
     params: FrameParams,
@@ -178,6 +236,8 @@ def render_frame_packet(
     tile: int = 1024,
     interpret: bool = False,
     interleave: int = 2,
+    max_steps: int | None = None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Full frame -> (H, W, 3), tonemapped unless disabled."""
     W, H = statics.width, statics.height
@@ -185,6 +245,9 @@ def render_frame_packet(
     bh, bw = _block_dims(H, W, tile)
     if bh > 1:
         rays = Rays(*[_swizzle(x, H, W, bh, bw) for x in rays])
+    trace_batch = _make_trace(
+        packed, params, statics, tile, interpret, interleave, max_steps, mesh
+    )
 
     if statics.which == 3:
         # per-pixel differential-spread visualization (fs:642-650):
@@ -223,14 +286,10 @@ def render_frame_packet(
                     P=rays.P, D=Ds, dPdx=jnp.zeros_like(Ds), dDdx=dDdx,
                     dPdy=jnp.zeros_like(Ds), dDdy=dDdy,
                 )
-                acc = acc + trace_rays_packet(
-                    packed, sub, params, statics, tile, interpret, interleave
-                )
+                acc = acc + trace_batch(sub)
         color = acc / (n * n)
     else:
-        color = trace_rays_packet(
-            packed, rays, params, statics, tile, interpret, interleave
-        )
+        color = trace_batch(rays)
 
     if bh > 1:
         color = _unswizzle(color, H, W, bh, bw)
@@ -245,15 +304,32 @@ def make_packet_render_fn(
     tile: int = 1024,
     interpret: bool = False,
     interleave: int = 2,
+    max_steps: int | None = None,
+    mesh=None,
 ):
     """Jit the packet frame function (scene threaded as an argument —
     see module docstring) and close a convenience wrapper over the
-    packed scene."""
+    packed scene.  With ``mesh``, the ray batch shards over its 1-D
+    device axis (scene replicated)."""
+    if mesh is not None:
+        from shader_ray_tpu.parallel import replicate_scene
+
+        packed = replicate_scene(packed, mesh)
+    if statics.which == 1:
+        import sys
+
+        print(
+            "packet engine: which=1 (textureGrad) renders as which=0 — "
+            "the packed env has no mip pyramid yet; use the wavefront "
+            "engine for gradient-filtered env sampling",
+            file=sys.stderr,
+        )
 
     @functools.partial(jax.jit, static_argnames=("statics_",))
     def _fn(packed_, params, statics_):
         return render_frame_packet(
-            packed_, params, statics_, tile, interpret, interleave
+            packed_, params, statics_, tile, interpret, interleave,
+            max_steps, mesh,
         )
 
     def fn(params: FrameParams) -> jnp.ndarray:

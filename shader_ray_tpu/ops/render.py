@@ -168,9 +168,11 @@ def trace_rays(
     params: FrameParams,
     statics: RenderStatics,
     active0: jnp.ndarray | None = None,
+    with_counts: bool = False,
 ) -> jnp.ndarray:
     """The fs `trace` loop (fs:552-582) over a batch: returns linear
-    (pre-tonemap) color (R, 3)."""
+    (pre-tonemap) color (R, 3).  ``with_counts`` additionally returns
+    the number of rays actually cast (honest Mrays/s denominator)."""
     R = rays.P.shape[0]
     f32 = jnp.float32
 
@@ -180,10 +182,12 @@ def trace_rays(
         jnp.ones((R,), bool) if active0 is None else active0
     )
     bad = jnp.zeros((R,), bool)
+    cast = jnp.zeros((), jnp.int32)
     r = rays
 
     for _bounce in range(statics.bounce_count):
         # intersect_and_shade (fs:484-522)
+        cast = cast + jnp.sum(alive.astype(jnp.int32))
         objP = transform_point(params.object_matrix, r.P)
         objD = transform_dir(params.object_normal_matrix, r.D)
         hit = traverse(
@@ -218,6 +222,7 @@ def trace_rays(
             # approximate_diffuse (fs:447-472): Lambert + hard shadow
             lcos = jnp.maximum(0.0, dot(world_n, params.light_dir))
             if statics.cast_shadows:
+                cast = cast + jnp.sum(hit_ok.astype(jnp.int32))
                 sP = transform_point(params.object_matrix, reflected.P)
                 sD = transform_dir(
                     params.object_normal_matrix,
@@ -254,6 +259,8 @@ def trace_rays(
     # bad-hit lanes short-circuit to the debug color (fs:497-501,566-568)
     bad_color = jnp.array([1.0, 0.0, 0.0], f32)
     color = jnp.where(bad[..., None], bad_color, color)
+    if with_counts:
+        return color, cast
     return color
 
 

@@ -60,7 +60,7 @@ def test_packet_matches_perlane_traversal(sphere, rng):
     u = np.asarray(ref.u)[:, None]
     v = np.asarray(ref.v)[:, None]
     n_ref = tri_n[:, 0:3] * (1 - u - v) + tri_n[:, 3:6] * u + tri_n[:, 6:9] * v
-    # leaf normals are stored bf16 (8-bit mantissa): shading-grade
+    # interpolation-order differences make normals shading-grade only
     np.testing.assert_allclose(
         np.asarray(got.normal)[hit], n_ref[hit], rtol=1e-2, atol=1e-2
     )
