@@ -9,10 +9,14 @@ at the driver north-star resolution 1024x768 on one chip, on the
 production engine for the backend (Pallas packet engine on TPU).
 
 Ray accounting matches BASELINE.md's derivation: W*H*(3 bounce +
-3 shadow) potential rays per frame.  Timing is synchronous: every
-frame is fetched to host (np.asarray) — on the axon runtime
-block_until_ready returns before execution finishes, so D2H is the
-only honest fence.  Median over FRAMES timed frames after warmup.
+3 shadow) potential rays per frame; rays actually cast are reported
+alongside.  Timing fences each frame on a DEVICE-SIDE CHECKSUM
+(scalar D2H fetch): on the axon runtime block_until_ready returns
+before execution finishes, so a D2H fetch is the only honest fence,
+and fetching the full frame would time the ~25 MB/s tunnel instead of
+the chip (~360 ms for a 9 MB frame).  This matches the reference
+benchmark's semantics — its loop renders + swaps with no readback
+(ray.cpp:1104-1113; glReadPixels happens only on screenshot).
 
 Prints ONE JSON line:
   {"metric": "mrays_per_s", "value": N, "unit": "Mrays/s", "vs_baseline": N}
@@ -87,16 +91,18 @@ def main() -> None:
     )
 
     fn = renderer.make_fn(statics)
+    # device-side checksum: fences the frame without fetching it
+    fsum = jax.jit(lambda p: jnp.sum(fn(p)))
 
     t0 = time.perf_counter()
-    img = np.asarray(fn(params))  # compile + first frame + fetch
+    img = np.asarray(fn(params))  # compile + first frame + full fetch
     print(f"compile+first frame: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
-    np.asarray(fn(params))  # warm
+    np.asarray(fsum(params))  # compile checksum program + warm
 
     times = []
     for _ in range(FRAMES):
         t0 = time.perf_counter()
-        img = np.asarray(fn(params))
+        np.asarray(fsum(params))
         times.append(time.perf_counter() - t0)
     t = float(np.median(times))
 

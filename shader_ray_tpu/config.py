@@ -55,7 +55,8 @@ class Config:
 
     # --- TPU engine knobs (new; no reference analog) ---
     engine: str = "auto"             # "packet" | "wavefront" | "auto"
-    ray_tile: int = 1024             # rays per Pallas grid step (best measured)
+    packet_kernel: str = "wide"      # "wide" (8-ary short-stack) | "binary"
+    ray_tile: int = 2048             # rays per Pallas grid step (best measured)
     packet_interleave: int = 1       # interleaved sub-packet walks per step
     packet_max_steps: int = 0        # packet walk budget; 0 = 2*nodes+2
     debug_nans: bool = False         # jax_debug_nans (SURVEY 5.2 sanitizer)
@@ -73,6 +74,8 @@ class Config:
         c.geometry_scale = _env_float("GEOMETRY_SCALE", c.geometry_scale)
         if os.environ.get("SRT_ENGINE"):
             c.engine = os.environ["SRT_ENGINE"]
+        if os.environ.get("SRT_PACKET_KERNEL"):
+            c.packet_kernel = os.environ["SRT_PACKET_KERNEL"]
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
         c.packet_max_steps = _env_int("SRT_MAX_STEPS", c.packet_max_steps)

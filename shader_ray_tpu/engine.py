@@ -59,9 +59,14 @@ class Renderer:
             # inverted into a detector)
             jax.config.update("jax_debug_nans", True)
         if self.engine == "packet":
-            from shader_ray_tpu.ops.pallas.pack import pack_scene
+            if cfg.packet_kernel == "wide":
+                from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
 
-            self.packed = pack_scene(data, background)
+                self.packed = pack_scene_wide(data, background)
+            else:
+                from shader_ray_tpu.ops.pallas.pack import pack_scene
+
+                self.packed = pack_scene(data, background)
             self.scene = None
         elif self.engine == "wavefront":
             from shader_ray_tpu.ops.scene import upload_scene

@@ -29,7 +29,9 @@ import numpy as np
 
 from shader_ray_tpu.ops.pallas.envmxu import sample_env_mxu
 from shader_ray_tpu.ops.pallas.pack import PackedScene
+from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
 from shader_ray_tpu.ops.pallas.packet import INFINITELY_FAR, packet_trace
+from shader_ray_tpu.ops.pallas.packet_wide import packet_trace_wide
 from shader_ray_tpu.ops.render import FrameParams, RenderStatics, generate_rays
 from shader_ray_tpu.ops.shading import (
     Rays,
@@ -69,7 +71,9 @@ def trace_rays_packet(
     r = rays
 
     trace = functools.partial(
-        packet_trace,
+        # the wide (8-ary short-stack) kernel and the binary hitmiss
+        # kernel share the PacketHit contract; the table type picks
+        packet_trace_wide if isinstance(packed, PackedSceneWide) else packet_trace,
         tile=tile,
         max_steps=max_steps,
         mt_eps=statics.mt_eps,

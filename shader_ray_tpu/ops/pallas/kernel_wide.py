@@ -1,0 +1,334 @@
+"""Wide-BVH packet megakernel body (Pallas TPU), v2.
+
+One walk step pops a wide node off a short SMEM stack and slab-tests
+ALL 8 of its children against the whole ray packet before a single
+scalar sync.  Layout choices are driven by measured axon v5e costs
+(vector op ~2-12 ns, any-reduce ~150 ns, vector->scalar extract
+~46 ns, SMEM scalar ops ~free, VMEM->SMEM DMA ~260 ns):
+
+  * child boxes come from SMEM as 16-bit fixed point; the dequant
+    affine folds into per-walk (A, B) ray vectors so each child's slab
+    test is pure ray-layout vector math with free scalar splats — no
+    cross-lane broadcasts anywhere;
+  * per-child any-hit bits accumulate per lane (bit p = octant
+    position p), then ONE sublane/lane OR-tree + ONE scalar extract
+    yields the 8-bit hit mask — vs 8 independent reduces;
+  * hit leaf children are processed near-to-far by a bit-scan
+    while_loop (zero cost when a step hits no leaves); each leaf visit
+    DMAs its 16x126 leaf group VMEM->SMEM once and reads triangle
+    scalars from SMEM — replacing the 180 vector->scalar extractions
+    per visit that dominated round 1;
+  * hit internal children push far-to-near (nearest pops first) via
+    predicated SMEM stores.
+
+``walks`` independent sub-packet walks interleave branch-free to hide
+the serial step latency; a dead walk (empty stack) takes fake steps on
+a clamped node with its hit mask forced to 0, so both passes no-op and
+its pushes never advance sp.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from shader_ray_tpu.ops.pallas.kernel_body import (
+    INFINITELY_FAR,
+    RANGE_T1,
+    leaf_tests,
+    make_walk_rays,
+)
+from shader_ray_tpu.ops.pallas.pack import LEAF_RECORD, LEAF_SLOTS, LEAVES_PER_GROUP
+from shader_ray_tpu.ops.pallas.pack_wide import WIDE
+
+GROUP_ROWS = 16
+LEAF_LANES = LEAVES_PER_GROUP * LEAF_RECORD  # 126
+
+
+def leaf_tests_smem(
+    buf, w, r, sub, tbase, lcount, gate, t, which, nx, ny, nz, mt_eps,
+):
+    """Moller-Trumbore over one leaf's <= 10 triangles with vertex
+    data read as SMEM scalars from the DMA'd leaf-group buffer ``buf``
+    (rows [w*16, w*16+16)) — scalar loads splat natively, so there is
+    no vector->scalar extraction in the chain."""
+    cbase = sub * LEAF_RECORD
+    Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
+    Dx, Dy, Dz = r["Dx"], r["Dy"], r["Dz"]
+    for k in range(LEAF_SLOTS):
+        e = lambda c: buf[w * GROUP_ROWS + k, cbase + c]
+        v0x, v0y, v0z = e(0), e(1), e(2)
+        e0x, e0y, e0z = e(3) - v0x, e(4) - v0y, e(5) - v0z   # v1 - v0
+        e1x, e1y, e1z = v0x - e(6), v0y - e(7), v0z - e(8)   # v0 - v2
+        # M = cross(e1, D)  (fs:305)
+        Mx = e1y * Dz - e1z * Dy
+        My = e1z * Dx - e1x * Dz
+        Mz = e1x * Dy - e1y * Dx
+        det = e0x * Mx + e0y * My + e0z * Mz
+        ok = jnp.abs(det) >= mt_eps
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
+        Qx = Ty * e0z - Tz * e0y
+        Qy = Tz * e0x - Tx * e0z
+        Qz = Tx * e0y - Ty * e0x
+        d = -(e1x * Qx + e1y * Qy + e1z * Qz) * inv_det
+        ok = ok & (d <= t) & (d >= 0.0)
+        u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
+        ok = ok & (u >= 0.0) & (u <= 1.0)
+        v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
+        ok = ok & (v >= 0.0) & (u + v <= 1.0)
+        take = ok & gate & (k < lcount)
+
+        t = jnp.where(take, d, t)
+        which = jnp.where(take, tbase + k, which)
+        w0 = 1.0 - u - v
+        nx = jnp.where(take, e(9) * w0 + e(12) * u + e(15) * v, nx)
+        ny = jnp.where(take, e(10) * w0 + e(13) * u + e(16) * v, ny)
+        nz = jnp.where(take, e(11) * w0 + e(14) * u + e(17) * v, nz)
+    return t, which, nx, ny, nz
+
+
+def wide_kernel(
+    leaves_ref,
+    boxes_ref,
+    cmeta_ref,
+    order_ref,
+    masks_ref,
+    tribase_ref,
+    P_ref,
+    D_ref,
+    act_ref,
+    t_ref,
+    which_ref,
+    n_ref,
+    bad_ref,
+    *stats_and_scratch,
+    n_wide: int,
+    max_steps: int,
+    mt_eps: float,
+    tile: int,
+    fold: int,
+    walks: int,
+    stack_depth: int,
+    box_quant: tuple,
+    any_hit: bool = False,
+    with_stats: bool = False,
+    leaf_mode: str = "dma",  # "dma" | "scalar" | "skip" (walk-cost probe)
+):
+    f32 = jnp.float32
+    i32 = jnp.int32
+    F = fold
+    C = tile // F
+    W = walks
+    CW = C // W
+    SD = stack_depth
+    if with_stats:
+        stats_ref, stack_ref, leafbuf_ref, sems_ref = stats_and_scratch
+    else:
+        stack_ref, leafbuf_ref, sems_ref = stats_and_scratch
+
+    rays = make_walk_rays(P_ref, D_ref, act_ref, F, W, CW)
+    ox, oy, oz, sx, sy, sz = box_quant
+    # fold the box dequant affine into per-walk ray vectors:
+    # slab distance = (q*s + o - P) * inv = q * (s*inv) + (o - P) * inv
+    for r in rays:
+        r["Ax"] = sx * r["invx"]
+        r["Bx"] = (ox - r["Px"]) * r["invx"]
+        r["Ay"] = sy * r["invy"]
+        r["By"] = (oy - r["Py"]) * r["invy"]
+        r["Az"] = sz * r["invz"]
+        r["Bz"] = (oz - r["Pz"]) * r["invz"]
+
+    def or_reduce_bits(v):
+        """(F, CW) i32 lane bitmask -> scalar OR via static halving."""
+        rows = F
+        while rows > 1:
+            rows //= 2
+            v = v[0:rows, :] | v[rows : 2 * rows, :]
+        width = CW
+        while width > 1:
+            width //= 2
+            v = v[:, 0:width] | v[:, width : 2 * width]
+        return jnp.sum(v)  # (1,1) -> scalar
+
+    def walk_step(w, st):
+        sp, steps, leafs, badw, t, which, nx, ny, nz = st
+        r = rays[w]
+        alive = sp > 0
+        spc = jnp.maximum(sp - 1, 0)
+        g = stack_ref[w * SD + spc]
+        g = jnp.clip(g, 0, n_wide - 1)  # dead-walk fake-step safety
+
+        orderw = order_ref[g * WIDE + r["octant"]]
+        masks = masks_ref[g]
+        validm = masks & 0xFF
+        leafm = (masks >> 8) & 0xFF
+
+        # slab-test the 8 children in octant order; bit p of the lane
+        # mask = this ray hits the child at octant position p
+        bitsvec = jnp.zeros((F, CW), i32)
+        cks = []
+        leaf_perm = jnp.int32(0)
+        for p in range(WIDE):
+            ck = (orderw >> (3 * p)) & 7
+            cks.append(ck)
+            leaf_perm = leaf_perm | (((leafm >> ck) & 1) << p)
+            b0 = boxes_ref[(g * WIDE + ck) * 3 + 0]
+            b1 = boxes_ref[(g * WIDE + ck) * 3 + 1]
+            b2 = boxes_ref[(g * WIDE + ck) * 3 + 2]
+            qnx = ((b0 >> 16) & 0xFFFF).astype(f32)
+            qxx = (b0 & 0xFFFF).astype(f32)
+            qny = ((b1 >> 16) & 0xFFFF).astype(f32)
+            qxy = (b1 & 0xFFFF).astype(f32)
+            qnz = ((b2 >> 16) & 0xFFFF).astype(f32)
+            qxz = (b2 & 0xFFFF).astype(f32)
+            tax = qnx * r["Ax"] + r["Bx"]
+            tbx = qxx * r["Ax"] + r["Bx"]
+            tay = qny * r["Ay"] + r["By"]
+            tby = qxy * r["Ay"] + r["By"]
+            taz = qnz * r["Az"] + r["Bz"]
+            tbz = qxz * r["Az"] + r["Bz"]
+            t0 = jnp.maximum(
+                jnp.maximum(jnp.minimum(tax, tbx), jnp.minimum(tay, tby)),
+                jnp.maximum(jnp.minimum(taz, tbz), 0.0),
+            )
+            t1 = jnp.minimum(
+                jnp.minimum(jnp.maximum(tax, tbx), jnp.maximum(tay, tby)),
+                jnp.minimum(jnp.maximum(taz, tbz), RANGE_T1),
+            )
+            boxhit = (t0 < t1) & (t0 < t) & r["act"]
+            vbit = ((validm >> ck) & 1) << p  # scalar 0 or 1<<p
+            bitsvec = bitsvec | jnp.where(boxhit, vbit, 0)
+
+        bits = or_reduce_bits(bitsvec)
+        bits = jnp.where(alive, bits, 0)
+        leafbits = bits & leaf_perm
+        pushbits = bits & ~leaf_perm
+
+        # pass 1, near-to-far: bit-scan loop over hit leaf children
+        # (zero iterations when a step hits none)
+        if leaf_mode != "skip":
+            gate = r["act"] & alive
+
+            def lcond(s):
+                return s[0] != 0
+
+            def lbody(s):
+                lb, leafs_, t_, which_, nx_, ny_, nz_ = s
+                # count-trailing-zeros of the 8-bit mask
+                p = jnp.where((lb & 0xF) != 0, 0, 4)
+                p = p + jnp.where(((lb >> p) & 0x3) != 0, 0, 2)
+                p = p + jnp.where(((lb >> p) & 0x1) != 0, 0, 1)
+                ck = (orderw >> (3 * p)) & 7
+                meta = cmeta_ref[g * WIDE + ck]
+                cnt = (meta >> 26) & 0x1F
+                lrow = meta & 0x3FFFFFF
+                tb = tribase_ref[lrow]
+                if leaf_mode == "dma":
+                    grp = lrow // LEAVES_PER_GROUP
+                    sub = lrow % LEAVES_PER_GROUP
+                    dma = pltpu.make_async_copy(
+                        leaves_ref.at[
+                            pl.ds(pl.multiple_of(grp * GROUP_ROWS, GROUP_ROWS),
+                                  GROUP_ROWS), :
+                        ],
+                        leafbuf_ref.at[
+                            pl.ds(w * GROUP_ROWS, GROUP_ROWS), :
+                        ],
+                        sems_ref.at[w],
+                    )
+                    dma.start()
+                    dma.wait()
+                    t_, which_, nx_, ny_, nz_ = leaf_tests_smem(
+                        leafbuf_ref, w, r, sub, tb, cnt, gate,
+                        t_, which_, nx_, ny_, nz_, mt_eps,
+                    )
+                else:
+                    t_, which_, nx_, ny_, nz_ = leaf_tests(
+                        leaves_ref, r, lrow, tb, cnt,
+                        gate, 0.0, RANGE_T1,
+                        t_, which_, nx_, ny_, nz_, mt_eps,
+                    )
+                return (lb & ~(1 << p), leafs_ + 1, t_, which_, nx_, ny_, nz_)
+
+            leafbits, leafs, t, which, nx, ny, nz = jax.lax.while_loop(
+                lcond, lbody, (leafbits, leafs, t, which, nx, ny, nz)
+            )
+
+        # pass 2, far-to-near: push hit internal children (nearest on top)
+        sp2 = spc
+        for p in range(WIDE - 1, -1, -1):
+            do_push = ((pushbits >> p) & 1) > 0
+            meta_p = cmeta_ref[g * WIDE + cks[p]]
+
+            @pl.when(do_push)
+            def _(sp2=sp2, meta_p=meta_p):
+                stack_ref[w * SD + sp2] = meta_p
+
+            sp2 = jnp.where(do_push, sp2 + 1, sp2)
+
+        if any_hit:
+            # occlusion query: finish as soon as every active lane hit
+            done = ~jnp.any(r["act"] & (t >= INFINITELY_FAR))
+            sp2 = jnp.where(done, 0, sp2)
+
+        steps2 = steps + alive.astype(i32)
+        overflow = alive & (steps2 >= max_steps) & (sp2 > 0)
+        badw = badw | overflow
+        sp2 = jnp.where(overflow, 0, sp2)
+        return (sp2, steps2, leafs, badw, t, which, nx, ny, nz)
+
+    def cond(states):
+        open_ = None
+        for w in range(W):
+            a = states[w][0] > 0
+            open_ = a if open_ is None else (open_ | a)
+        return open_
+
+    def body(states):
+        return tuple(walk_step(w, states[w]) for w in range(W))
+
+    def init_state(w):
+        has_work = jnp.any(rays[w]["act"])
+        stack_ref[w * SD] = jnp.int32(0)  # root wide node
+        return (
+            jnp.where(has_work, 1, 0).astype(i32),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.zeros((), bool),
+            jnp.full((F, CW), INFINITELY_FAR, f32),
+            jnp.full((F, CW), -1, i32),
+            jnp.zeros((F, CW), f32),
+            jnp.zeros((F, CW), f32),
+            jnp.zeros((F, CW), f32),
+        )
+
+    states = jax.lax.while_loop(
+        cond, body, tuple(init_state(w) for w in range(W))
+    )
+
+    steps_total = jnp.int32(0)
+    leafs_total = jnp.int32(0)
+    for w in range(W):
+        sp, steps, leafs, badw, t, which, nx, ny, nz = states[w]
+        sl = slice(w * CW, (w + 1) * CW)
+        badv = jnp.where(rays[w]["act"] & badw, 1, 0).astype(i32)
+        t_ref[:, sl] = jnp.where(badv > 0, -1.0, t)
+        which_ref[:, sl] = jnp.where(badv > 0, -1, which)
+        n_ref[0:F, sl] = nx
+        n_ref[F : 2 * F, sl] = ny
+        n_ref[2 * F :, sl] = nz
+        bad_ref[:, sl] = badv
+        steps_total = steps_total + steps
+        leafs_total = leafs_total + leafs
+
+    if with_stats:
+        # vector-composed stats block (scalar VMEM stores unsupported)
+        ri = jax.lax.broadcasted_iota(i32, (8, 128), 0)
+        ci = jax.lax.broadcasted_iota(i32, (8, 128), 1)
+        stats_ref[:, :] = jnp.where(
+            (ri == 0) & (ci == 0), steps_total,
+            jnp.where((ri == 0) & (ci == 1), leafs_total, 0),
+        )

@@ -101,13 +101,10 @@ class PackedScene:
         return self.leaves.shape[0] * LANES * 4
 
 
-def pack_scene(
-    data: SceneData,
-    env: np.ndarray,
-    max_leaf_tests: int = LEAF_SLOTS,
-    env_size: tuple[int, int] = (256, 512),
-) -> PackedScene:
-    """Build packet tables from flattened SceneData (host, numpy)."""
+def pack_leaf_groups(data: SceneData, max_leaf_tests: int = LEAF_SLOTS):
+    """Build the slot-major leaf-group table (shared by the binary and
+    wide packet kernels).  Returns (leaves, tribase, leaf_row_of,
+    counts, L) — see the module docstring for the layout."""
     n = data.group_count
     is_leaf = data.node_objects[:, 1] > 0
     leaf_ids = np.nonzero(is_leaf)[0]
@@ -115,7 +112,6 @@ def pack_scene(
     leaf_row_of = np.full(n, -1, np.int32)
     leaf_row_of[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
 
-    hm = data.hitmiss  # (8, N, 2)
     counts = np.minimum(data.node_objects[:, 1], max_leaf_tests).astype(np.int32)
     counts = np.where(is_leaf, counts, 0)
 
@@ -133,6 +129,25 @@ def pack_scene(
         leaves[r0 : r0 + cnt, c0 : c0 + 9] = data.tri_positions[start : start + cnt]
         leaves[r0 : r0 + cnt, c0 + 9 : c0 + 18] = data.tri_normals[start : start + cnt]
 
+    tribase = np.zeros(L, np.int32)
+    tribase[: len(leaf_ids)] = data.node_objects[leaf_ids, 0]
+    return leaves, tribase, leaf_row_of, counts, L
+
+
+def pack_scene(
+    data: SceneData,
+    env: np.ndarray,
+    max_leaf_tests: int = LEAF_SLOTS,
+    env_size: tuple[int, int] = (256, 512),
+) -> PackedScene:
+    """Build packet tables from flattened SceneData (host, numpy)."""
+    n = data.group_count
+    is_leaf = data.node_objects[:, 1] > 0
+    leaves, tribase_smem, leaf_row_of, counts, L = pack_leaf_groups(
+        data, max_leaf_tests
+    )
+    hm = data.hitmiss  # (8, N, 2)
+
     He, We = env_size
     env_small = _resize_env(np.asarray(env, np.float32), He, We)
 
@@ -146,8 +161,6 @@ def pack_scene(
     meta_smem = (
         (counts.astype(np.int64) << 26) | np.maximum(leaf_row_of, 0)
     ).astype(np.uint32).view(np.int32).reshape(-1)
-    tribase_smem = np.zeros(L, np.int32)
-    tribase_smem[: len(leaf_ids)] = data.node_objects[leaf_ids, 0]
 
     # conservative 16-bit fixed-point boxes over the scene box
     bmin = data.node_boxes[:, 0:3].astype(np.float64)

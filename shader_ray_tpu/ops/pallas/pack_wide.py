@@ -1,0 +1,240 @@
+"""Host-side 8-wide BVH packing for the wide packet kernel.
+
+The round-1 binary walk was serial-step-bound: each step fetched ONE
+node and retired at most one box test per dependency chain.  The wide
+engine collapses the binary SAH tree (reference bvh.cpp:288-358) into
+8-wide nodes at pack time, so one short-stack step slab-tests all 8
+children of a node against the whole ray packet and produces the
+8-bit hit mask with a single scalar sync (kernel_wide.py).  Steps per
+walk drop ~5x vs the binary hitmiss walk.
+
+Table layout (v2 — everything node-sized in SMEM, measured faster
+than VMEM blocks + cross-lane broadcasts on this hardware):
+
+  boxes_smem ((Nw*8)*3,) i32  per (node, child, axis): qmin<<16|qmax,
+                              16-bit fixed point over the root box
+                              (conservative: min down, max up — never
+                              misses, only admits spurious tests)
+  cmeta_smem (Nw*8,) i32      per child: count<<26 | leaf_row for leaf
+                              children (count>0), wide node index for
+                              internal children, -1 for empty slots
+  order_smem (Nw*8,) i32      per (node, octant): 8x3-bit permutation
+                              of children, near-to-far along the
+                              octant direction (replaces the binary
+                              engine's per-octant hit/miss link banks,
+                              reference world.cpp:215-278)
+  masks_smem (Nw,) i32        bits 0-7: child k is populated; bits
+                              8-15: child k is a leaf (child space —
+                              the kernel permutes through the octant
+                              order at run time)
+  leaves / tribase_smem       shared with the binary engine (pack.py)
+
+Node-count limits: wide node indices must fit 26 bits (vs the binary
+engine's 32768-node SMEM link cap) — collapse divides node count by
+~5-7, and SMEM cost is 56 B/node, so multi-million-triangle scenes
+index fine; the practical bound is VMEM capacity for the leaf table.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shader_ray_tpu.models.world import SceneData
+from shader_ray_tpu.ops.pallas.pack import (
+    LEAF_SLOTS,
+    QBITS,
+    pack_leaf_groups,
+    _resize_env,
+)
+
+WIDE = 8          # children per wide node
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedSceneWide:
+    """Device tables for the wide packet kernel (jit-arg pytree with
+    static int metadata, like PackedScene — axon requires Pallas
+    operands threaded as traced arguments)."""
+
+    def __init__(self, leaves, boxes_smem, cmeta_smem, order_smem,
+                 masks_smem, tribase_smem, env,
+                 n_wide: int, leaf_count: int, tri_count: int,
+                 node_count: int, stack_depth: int, box_quant: tuple):
+        self.leaves = leaves              # (groups*16, 126) f32 VMEM
+        self.boxes_smem = boxes_smem      # ((Nw*8)*3,) i32
+        self.cmeta_smem = cmeta_smem      # (Nw*8,) i32
+        self.order_smem = order_smem      # (Nw*8,) i32
+        self.masks_smem = masks_smem      # (Nw,) i32
+        self.tribase_smem = tribase_smem  # (L,) i32
+        self.env = env                    # (He, We, 3) f32
+        self.n_wide = int(n_wide)
+        self.leaf_count = int(leaf_count)
+        self.tri_count = int(tri_count)
+        self.node_count = int(node_count)  # binary node count (stats)
+        self.stack_depth = int(stack_depth)
+        # static dequant affine: (ox, oy, oz, sx, sy, sz)
+        self.box_quant = tuple(float(v) for v in box_quant)
+
+    def tree_flatten(self):
+        leaves = (self.leaves, self.boxes_smem, self.cmeta_smem,
+                  self.order_smem, self.masks_smem, self.tribase_smem,
+                  self.env)
+        aux = (self.n_wide, self.leaf_count, self.tri_count,
+               self.node_count, self.stack_depth, self.box_quant)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @property
+    def vmem_bytes(self) -> int:
+        return 4 * self.leaves.shape[0] * 128
+
+
+def _collapse(data: SceneData):
+    """Collapse the binary tree into wide nodes: repeatedly expand the
+    largest-area internal frontier member until 8 children (the
+    BVH8-style greedy cut).  Returns (wide_children, wid_of_binary,
+    depth_of, is_leaf): wide_children[w] = list of binary node ids."""
+    children = data.node_children
+    assert children is not None, (
+        "wide packing needs SceneData.node_children (rebuild the scene "
+        "or refresh a v1 scene cache)"
+    )
+    count = data.node_objects[:, 1]
+    bmin = data.node_boxes[:, 0:3].astype(np.float64)
+    bmax = data.node_boxes[:, 3:6].astype(np.float64)
+    ext = np.maximum(bmax - bmin, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+    is_leaf = count > 0
+
+    def frontier(b: int) -> list[int]:
+        if is_leaf[b]:
+            return [int(b)]
+        if children[b, 0] < 0:  # empty scene: branch root with no kids
+            return []
+        fr = [int(children[b, 0]), int(children[b, 1])]
+        while len(fr) < WIDE:
+            best, best_a = -1, -1.0
+            for i, f in enumerate(fr):
+                if not is_leaf[f] and area[f] > best_a:
+                    best, best_a = i, float(area[f])
+            if best < 0:
+                break
+            f = fr.pop(best)
+            fr.extend([int(children[f, 0]), int(children[f, 1])])
+        return fr
+
+    # BFS with FIFO id assignment: a node's wide id is its enqueue
+    # rank, which equals its dequeue rank, so wide_children[i] is the
+    # frontier of wide node i and parents precede children (root = 0)
+    from collections import deque
+
+    root = int(data.tree_root)
+    queue = deque([(root, 0)])
+    wid_of_binary = {root: 0}
+    next_id = 1
+    wide_children: list[list[int]] = []
+    depth_of: list[int] = []
+    while queue:
+        b, d = queue.popleft()
+        fr = frontier(b)
+        wide_children.append(fr)
+        depth_of.append(d)
+        for f in fr:
+            if not is_leaf[f]:
+                wid_of_binary[f] = next_id
+                next_id += 1
+                queue.append((f, d + 1))
+    return wide_children, wid_of_binary, depth_of, is_leaf
+
+
+def pack_scene_wide(
+    data: SceneData,
+    env: np.ndarray,
+    max_leaf_tests: int = LEAF_SLOTS,
+    env_size: tuple[int, int] = (256, 512),
+) -> PackedSceneWide:
+    """Build wide packet tables from flattened SceneData (host)."""
+    leaves, tribase, leaf_row_of, counts, L = pack_leaf_groups(
+        data, max_leaf_tests
+    )
+    wide_children, wid_of_binary, depth_of, is_leaf = _collapse(data)
+    Nw = len(wide_children)
+    assert Nw < (1 << 26), "wide node index must fit 26 bits"
+
+    bmin = data.node_boxes[:, 0:3].astype(np.float64)
+    bmax = data.node_boxes[:, 3:6].astype(np.float64)
+
+    # conservative 16-bit fixed-point quantization over the root box
+    # (same scheme as the binary engine, pack.py)
+    if data.group_count > 0 and data.triangle_count > 0:
+        off = bmin[data.tree_root].copy()
+        ext = bmax[data.tree_root] - off
+    else:
+        off = np.zeros(3)
+        ext = np.ones(3)
+    scale = np.maximum(ext, 1e-30) / ((1 << QBITS) - 1)
+
+    boxes = np.zeros((Nw * WIDE, 3), np.int64)
+    cmeta = np.full(Nw * WIDE, -1, np.int64)
+    masks = np.zeros(Nw, np.int64)
+    centers = np.full((Nw, WIDE, 3), np.inf)
+    for w, fr in enumerate(wide_children):
+        for k, b in enumerate(fr):
+            qmin = np.clip(np.floor((bmin[b] - off) / scale), 0, 65535)
+            qmax = np.clip(np.ceil((bmax[b] - off) / scale), 0, 65535)
+            boxes[w * WIDE + k] = (
+                qmin.astype(np.int64) << 16
+            ) | qmax.astype(np.int64)
+            centers[w, k] = 0.5 * (bmin[b] + bmax[b])
+            masks[w] |= 1 << k
+            if is_leaf[b]:
+                cmeta[w * WIDE + k] = (
+                    (int(counts[b]) << 26) | int(leaf_row_of[b])
+                )
+                masks[w] |= 1 << (8 + k)
+            else:
+                cmeta[w * WIDE + k] = wid_of_binary[b]
+
+    # per-octant near-to-far child order: sort by box center projected
+    # on the octant direction (octant bit set = D positive on that
+    # axis, so near = smaller coordinate)
+    odirs = np.array(
+        [[1.0 if (o >> a) & 1 else -1.0 for a in range(3)] for o in range(8)]
+    )  # (8, 3)
+    filled = np.isfinite(centers[:, :, 0])  # (Nw, 8)
+    keys = np.einsum("oa,wka->owk", odirs, np.where(filled[..., None], centers, 0.0))
+    keys = np.where(filled[None, :, :], keys, np.inf)  # empties sort last
+    order = np.argsort(keys, axis=2, kind="stable")  # (o, Nw, 8) near first
+    packed_order = np.zeros((Nw, 8), np.int64)
+    for p in range(WIDE):
+        packed_order |= order[:, :, p].T << (3 * p)
+
+    # stack bound: each pop pushes <= 7 net new entries per level
+    stack_depth = (WIDE - 1) * (max(depth_of) + 1) + 8
+
+    He, We = env_size
+    env_small = _resize_env(np.asarray(env, np.float32), He, We)
+
+    as_i32 = lambda a: jnp.asarray(
+        np.ascontiguousarray(a.astype(np.uint32).view(np.int32).reshape(-1))
+    )
+    return PackedSceneWide(
+        leaves=jnp.asarray(leaves),
+        boxes_smem=as_i32(boxes),
+        cmeta_smem=as_i32(cmeta),
+        order_smem=as_i32(packed_order),
+        masks_smem=as_i32(masks),
+        tribase_smem=jnp.asarray(tribase),
+        env=jnp.asarray(env_small),
+        n_wide=Nw,
+        leaf_count=L,
+        tri_count=int(data.triangle_count),
+        node_count=int(data.group_count),
+        stack_depth=int(stack_depth),
+        box_quant=(off[0], off[1], off[2], scale[0], scale[1], scale[2]),
+    )

@@ -1,0 +1,161 @@
+"""Wide-BVH packet traversal entry point (Pallas TPU).
+
+Same contract as ops.pallas.packet.packet_trace, running the 8-wide
+short-stack kernel (kernel_wide.py) over tables packed by
+pack_wide.pack_scene_wide.  Replaces the binary engine's 32768-node
+SMEM-link cap with 26-bit wide-node indices (the practical bound is
+VMEM capacity for the boxes/leaf tables).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from shader_ray_tpu.ops.pallas.kernel_wide import wide_kernel
+from shader_ray_tpu.ops.pallas.pack_wide import WIDE, PackedSceneWide
+from shader_ray_tpu.ops.pallas.packet import (
+    FOLD,
+    MT_EPSILON,
+    PacketHit,
+    _fold,
+    _unfold,
+)
+
+
+def packet_trace_wide(
+    scene: PackedSceneWide,
+    P: jnp.ndarray,
+    D: jnp.ndarray,
+    active: jnp.ndarray | None = None,
+    tile: int = 1024,
+    max_steps: int | None = None,
+    mt_eps: float = MT_EPSILON,
+    any_hit: bool = False,
+    interleave: int = 2,
+    with_stats: bool = False,
+    interpret: bool = False,
+    leaf_mode: str = "vec",
+) -> PacketHit:
+    """Trace a batch of object-space rays.  P, D: (R, 3) float32.
+    ``tile`` must be a multiple of 1024 (8 sublanes x 128 lanes)."""
+    assert tile % (FOLD * 128) == 0, "wide kernel tile must be a multiple of 1024"
+    fold = FOLD
+    R = P.shape[0]
+    pad = (-R) % tile
+    Rp = R + pad
+    n_tiles = Rp // tile
+    C = tile // fold
+
+    def prep(x):
+        x = jnp.asarray(x, jnp.float32)
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
+        comps = [_fold(x[:, c], n_tiles, tile, fold) for c in range(3)]
+        return jnp.concatenate(comps, axis=0)  # (3*FOLD, n_tiles*C)
+
+    Pt = prep(P)
+    Dt = prep(D)
+    if active is None:
+        actv = jnp.ones((Rp,), jnp.float32)
+    else:
+        actv = jnp.asarray(active).astype(jnp.float32).reshape(R)
+        if pad:
+            actv = jnp.concatenate([actv, jnp.zeros((pad,), jnp.float32)])
+    actt = _fold(actv, n_tiles, tile, fold)
+
+    if max_steps is None:
+        # a tree walk pops each wide node at most once
+        max_steps = scene.n_wide + 2
+
+    walks = max(1, min(interleave, C // 128))
+    while C % walks:
+        walks -= 1
+    kernel = functools.partial(
+        wide_kernel,
+        n_wide=scene.n_wide,
+        max_steps=max_steps,
+        mt_eps=mt_eps,
+        tile=tile,
+        fold=fold,
+        walks=walks,
+        stack_depth=scene.stack_depth,
+        box_quant=scene.box_quant,
+        any_hit=any_hit,
+        with_stats=with_stats,
+        leaf_mode=leaf_mode,
+    )
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
+    )
+    rays = lambda rows: pl.BlockSpec(
+        (rows, C), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    out_specs = [rays(fold), rays(fold), rays(3 * fold), rays(fold)]
+    out_shape = [
+        jax.ShapeDtypeStruct((fold, Rp // fold), jnp.float32),
+        jax.ShapeDtypeStruct((fold, Rp // fold), jnp.int32),
+        jax.ShapeDtypeStruct((3 * fold, Rp // fold), jnp.float32),
+        jax.ShapeDtypeStruct((fold, Rp // fold), jnp.int32),
+    ]
+    if with_stats:
+        out_specs.append(
+            pl.BlockSpec((8, 128), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((8, n_tiles * 128), jnp.int32))
+
+    # the leaf table can overflow the default 16 MB scoped-vmem budget
+    # on large scenes; raise the cap to what it + ray blocks need
+    table_bytes = 4 * 128 * scene.leaves.shape[0]
+    vmem_limit = min(table_bytes + (8 << 20), 120 << 20)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            full(scene.leaves.shape),
+            smem(scene.boxes_smem.shape),
+            smem(scene.cmeta_smem.shape),
+            smem(scene.order_smem.shape),
+            smem(scene.masks_smem.shape),
+            smem(scene.tribase_smem.shape),
+            rays(3 * fold),
+            rays(3 * fold),
+            rays(fold),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((walks * scene.stack_depth,), jnp.int32),
+            pltpu.SMEM((walks * 16, scene.leaves.shape[1]), jnp.float32),
+            pltpu.SemaphoreType.DMA((walks,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(scene.leaves, scene.boxes_smem, scene.cmeta_smem, scene.order_smem,
+      scene.masks_smem, scene.tribase_smem, Pt, Dt, actt)
+    t, which, n, bad = outs[:4]
+    stats = outs[4] if with_stats else None
+
+    un = lambda x: _unfold(x, n_tiles, tile, fold)[:R]
+    normal = jnp.stack(
+        [un(n[0:fold]), un(n[fold : 2 * fold]), un(n[2 * fold :])], axis=-1
+    )
+    per_tile = (
+        stats[0].reshape(n_tiles, 128)[:, 0:2] if with_stats else None
+    )
+    return PacketHit(
+        t=un(t),
+        which=un(which),
+        normal=normal,
+        bad=un(bad) > 0,
+        stats=per_tile,
+    )

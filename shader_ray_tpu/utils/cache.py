@@ -17,7 +17,7 @@ import numpy as np
 
 from shader_ray_tpu.models.world import SceneData
 
-_CACHE_VERSION = 1
+_CACHE_VERSION = 2  # v2: + node_children (wide-BVH packing needs it)
 
 
 def default_cache_dir() -> str:
@@ -46,6 +46,11 @@ def save_scene_data(key: str, data: SceneData) -> str:
         tree_root=np.int32(data.tree_root),
         triangle_count=np.int32(data.triangle_count),
         group_count=np.int32(data.group_count),
+        node_children=(
+            data.node_children
+            if data.node_children is not None
+            else np.full((data.group_count, 2), -1, np.int32)
+        ),
     )
     os.replace(tmp, path)
     return path
@@ -67,6 +72,7 @@ def load_scene_data(key: str) -> SceneData | None:
             tree_root=int(z["tree_root"]),
             triangle_count=int(z["triangle_count"]),
             group_count=int(z["group_count"]),
+            node_children=z["node_children"] if "node_children" in z else None,
         )
     except Exception:
         return None

@@ -1,0 +1,157 @@
+"""Wide (8-ary short-stack) packet engine vs the per-lane wavefront
+engine — collapse invariants, traversal parity, active mask, full
+pipeline, empty scene.  Pallas interpret mode on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shader_ray_tpu.models.fixtures import procedural_sky, uv_sphere
+from shader_ray_tpu.models.triangle_set import TriangleSet
+from shader_ray_tpu.models.world import get_shader_data, make_world
+from shader_ray_tpu.ops.engine_pallas import render_frame_packet
+from shader_ray_tpu.ops.pallas.pack_wide import WIDE, pack_scene_wide
+from shader_ray_tpu.ops.pallas.packet_wide import packet_trace_wide
+from shader_ray_tpu.ops.render import (
+    RenderStatics,
+    default_frame_params,
+    render_frame,
+)
+from shader_ray_tpu.ops.scene import upload_scene
+from shader_ray_tpu.ops.traversal import traverse
+from shader_ray_tpu.utils import mat4
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    pos, _ = uv_sphere(lat=8, lon=12)
+    ts = TriangleSet.from_arrays(pos)
+    world = make_world(ts)
+    return get_shader_data(world)
+
+
+@pytest.fixture(scope="module")
+def bumpy():
+    # larger scene -> several wide levels
+    pos, _ = uv_sphere(lat=24, lon=36)
+    ts = TriangleSet.from_arrays(pos)
+    world = make_world(ts)
+    return get_shader_data(world)
+
+
+def _random_rays(rng, R):
+    P = (rng.normal(size=(R, 3)) * 0.1 + [0, 0, 3]).astype(np.float32)
+    D = rng.normal(size=(R, 3)).astype(np.float32)
+    D[: R // 2] = ([0, 0, -1.0] + 0.3 * rng.normal(size=(R // 2, 3))).astype(
+        np.float32
+    )
+    return P, D
+
+
+def test_collapse_covers_all_leaves(bumpy):
+    """Every binary leaf appears exactly once as a wide child, and
+    every internal child id is a valid wide node."""
+    data = bumpy
+    packed = pack_scene_wide(data, procedural_sky(32))
+    cmeta = np.asarray(packed.cmeta_smem).reshape(packed.n_wide, WIDE)
+    counts = (cmeta >> 26) & 0x1F
+    is_leaf_child = (cmeta >= 0) & (counts > 0)
+    leaf_rows = (cmeta & 0x3FFFFFF)[is_leaf_child]
+    n_binary_leaves = int((data.node_objects[:, 1] > 0).sum())
+    assert sorted(leaf_rows.tolist()) == list(range(n_binary_leaves))
+    internal = cmeta[(cmeta >= 0) & (counts == 0)]
+    assert ((internal > 0) & (internal < packed.n_wide)).all()
+    # nodes are materially smaller than the binary tree
+    assert packed.n_wide < data.group_count // 3
+
+
+def test_wide_matches_perlane_traversal(sphere, rng):
+    data = sphere
+    scene = upload_scene(data, procedural_sky(64))
+    packed = pack_scene_wide(data, procedural_sky(64))
+    P, D = _random_rays(rng, 512)
+
+    ref = traverse(scene, jnp.asarray(P), jnp.asarray(D))
+    got = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True
+    )
+
+    np.testing.assert_allclose(got.t, ref.t, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got.which, ref.which)
+    hit = (np.asarray(ref.t) < 1e7) & (np.asarray(ref.which) >= 0)
+    tri_n = data.tri_normals[np.maximum(np.asarray(ref.which), 0)]
+    u = np.asarray(ref.u)[:, None]
+    v = np.asarray(ref.v)[:, None]
+    n_ref = tri_n[:, 0:3] * (1 - u - v) + tri_n[:, 3:6] * u + tri_n[:, 6:9] * v
+    np.testing.assert_allclose(
+        np.asarray(got.normal)[hit], n_ref[hit], rtol=1e-2, atol=1e-2
+    )
+
+
+def test_wide_matches_perlane_deep(bumpy, rng):
+    data = bumpy
+    scene = upload_scene(data, procedural_sky(64))
+    packed = pack_scene_wide(data, procedural_sky(64))
+    P, D = _random_rays(rng, 1024)
+
+    ref = traverse(scene, jnp.asarray(P), jnp.asarray(D))
+    got = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True
+    )
+    np.testing.assert_allclose(got.t, ref.t, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got.which, ref.which)
+
+
+def test_wide_active_mask_and_anyhit(sphere, rng):
+    data = sphere
+    packed = pack_scene_wide(data, procedural_sky(64))
+    P, D = _random_rays(rng, 512)
+    active = np.zeros(512, bool)
+    active[::3] = True
+    got = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D),
+        active=jnp.asarray(active), tile=1024, interpret=True,
+    )
+    t = np.asarray(got.t)
+    assert (t[~active] >= 1e7).all()
+
+    # any-hit agrees on hit/miss classification with the full trace
+    occ = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D),
+        active=jnp.asarray(active), tile=1024, any_hit=True, interpret=True,
+    )
+    full_hit = np.asarray(got.t) < 1e7
+    occ_hit = np.asarray(occ.t) < 1e7
+    np.testing.assert_array_equal(occ_hit[active], full_hit[active])
+
+
+def test_full_pipeline_wide_vs_wavefront(sphere):
+    data = sphere
+    env = procedural_sky(512)
+    scene = upload_scene(data, env)
+    packed = pack_scene_wide(data, env, env_size=(256, 512))
+
+    statics = RenderStatics(width=40, height=32, tile_size=512)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(mat4.make_translation(0, 0, 3.0).astype(np.float32)),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.3, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32)),
+    )
+    ref = np.asarray(render_frame(scene, params, statics))
+    got = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+def test_wide_empty_scene():
+    ts = TriangleSet.from_arrays(np.zeros((0, 3, 3), np.float32))
+    data = get_shader_data(make_world(ts))
+    packed = pack_scene_wide(data, procedural_sky(64))
+    P = np.zeros((64, 3), np.float32)
+    D = np.tile(np.array([0, 0, -1.0], np.float32), (64, 1))
+    got = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True
+    )
+    assert (np.asarray(got.t) >= 1e7).all()
+    assert not np.asarray(got.bad).any()
