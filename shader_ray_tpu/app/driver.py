@@ -155,20 +155,27 @@ class App:
         Uses a Halton (2,3) jitter sequence for even coverage."""
         import jax.numpy as jnp
 
+        # device-batched path: the packet engine renders the whole
+        # sample batch in one dispatch (engine.make_progressive_fn)
+        if hasattr(self.renderer, "make_progressive_fn"):
+            key = ("progressive-batch", samples, self.which, self.width, self.height)
+            bfn = self._fn_cache.get(key)
+            if bfn is None and key not in self._fn_cache:
+                bfn = self.renderer.make_progressive_fn(self._statics(), samples)
+                self._fn_cache[key] = bfn
+            if bfn is not None:
+                self._frame = np.asarray(bfn(self.frame_params()))
+                self.redraw = False
+                return self._frame
+
+        from shader_ray_tpu.utils.halton import halton
+
         statics = self._statics()._replace(do_tonemap=False)
         key = ("progressive", self.which, self.width, self.height)
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = self.renderer.make_fn(statics)
             self._fn_cache[key] = fn
-
-        def halton(i, b):
-            f, r = 1.0, 0.0
-            while i > 0:
-                f /= b
-                r += f * (i % b)
-                i //= b
-            return r
 
         acc = None
         base = self.frame_params()

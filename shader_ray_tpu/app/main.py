@@ -140,6 +140,15 @@ def repl(app, out_path: str, stream) -> None:
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS deterministically: the axon sitecustomize
+    # force-selects its backend at interpreter start and can ignore the
+    # env var; the config override after import wins (conftest recipe)
+    plat = __import__("os").environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat.split(",")[0])
+
     p = argparse.ArgumentParser(
         prog="shader_ray_tpu",
         description="TPU-native interactive ray tracer",

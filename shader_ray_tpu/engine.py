@@ -104,6 +104,42 @@ class Renderer:
 
         return make_render_fn(self.scene, statics)
 
+    def make_progressive_fn(self, statics: RenderStatics, samples: int):
+        """Jitted ``fn(params) -> (H, W, 3)`` averaging ``samples``
+        Halton-jittered frames.  On the packet engine the whole batch
+        runs in ONE dispatch (lax.map on device) — the per-dispatch
+        host round-trip is paid once per batch, not once per sample.
+        Returns None when the engine has no device-batched path (the
+        caller falls back to a host loop)."""
+        if self.engine != "packet":
+            return None
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from shader_ray_tpu.ops.engine_pallas import render_progressive_packet
+        from shader_ray_tpu.utils.halton import halton
+
+        jitters = jnp.asarray(
+            [[halton(s + 1, 2) - 0.5, halton(s + 1, 3) - 0.5]
+             for s in range(samples)],
+            jnp.float32,
+        )
+        interpret = jax.default_backend() != "tpu"
+
+        @functools.partial(jax.jit, static_argnames=("statics_",))
+        def _fn(packed_, jitters_, params, statics_):
+            return render_progressive_packet(
+                packed_, params, statics_, jitters_,
+                tile=self.cfg.ray_tile, interpret=interpret,
+                interleave=self.cfg.packet_interleave,
+                max_steps=self.cfg.packet_max_steps or None,
+                mesh=self.mesh,
+            )
+
+        return lambda params: _fn(self.packed, jitters, params, statics)
+
     def make_count_fn(self, statics: RenderStatics):
         """Jitted ``fn(params) -> rays actually cast`` for one frame:
         the honest Mrays/s denominator (alive bounce rays + shadow rays

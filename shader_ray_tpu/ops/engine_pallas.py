@@ -302,6 +302,37 @@ def render_frame_packet(
     return color.reshape(H, W, 3)
 
 
+def render_progressive_packet(
+    packed: PackedScene,
+    params: FrameParams,
+    statics: RenderStatics,
+    jitters: jnp.ndarray,
+    tile: int = 1024,
+    interpret: bool = False,
+    interleave: int = 2,
+    max_steps: int | None = None,
+    mesh=None,
+) -> jnp.ndarray:
+    """Progressive accumulation fully on device: average ``K`` frames
+    rendered at the given (K, 2) sub-pixel jitters in linear space,
+    tonemap once.  One dispatch renders all K samples — the host
+    round-trip (tens of ms on the axon tunnel) is paid once per batch
+    instead of once per sample (the host-loop analog lives in
+    App.render_progressive)."""
+    inner = statics._replace(do_tonemap=False)
+
+    def one(jit2):
+        prm = params._replace(pixel_jitter=jit2)
+        return render_frame_packet(
+            packed, prm, inner, tile, interpret, interleave, max_steps, mesh
+        )
+
+    acc = jax.lax.map(one, jitters).sum(axis=0) / jitters.shape[0]
+    if statics.do_tonemap:
+        acc = tonemap_and_gamma(acc, statics.use_filmic)
+    return acc
+
+
 def make_packet_render_fn(
     packed: PackedScene,
     statics: RenderStatics,
