@@ -56,6 +56,9 @@ class Config:
     # --- TPU engine knobs (new; no reference analog) ---
     engine: str = "auto"             # "packet" | "wavefront" | "auto"
     packet_kernel: str = "wide"      # "wide" (8-ary short-stack) | "binary"
+    env_res: int = 256               # mode-0 env sampling height (W = 2H);
+                                     # dense-MXU cost scales with H*W
+    env_mip_res: int = 512           # mode-1 (textureGrad) atlas base height
     ray_tile: int = 2048             # rays per Pallas grid step (best measured)
     packet_interleave: int = 1       # interleaved sub-packet walks per step
     packet_max_steps: int = 0        # packet walk budget; 0 = 2*nodes+2
@@ -76,6 +79,8 @@ class Config:
             c.engine = os.environ["SRT_ENGINE"]
         if os.environ.get("SRT_PACKET_KERNEL"):
             c.packet_kernel = os.environ["SRT_PACKET_KERNEL"]
+        c.env_res = _env_int("SRT_ENV_RES", c.env_res)
+        c.env_mip_res = _env_int("SRT_ENV_MIP_RES", c.env_mip_res)
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
         c.packet_max_steps = _env_int("SRT_MAX_STEPS", c.packet_max_steps)

@@ -59,14 +59,18 @@ class Renderer:
             # inverted into a detector)
             jax.config.update("jax_debug_nans", True)
         if self.engine == "packet":
+            pack_kwargs = dict(
+                env_size=(cfg.env_res, 2 * cfg.env_res),
+                env_atlas_base=(cfg.env_mip_res, 2 * cfg.env_mip_res),
+            )
             if cfg.packet_kernel == "wide":
                 from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
 
-                self.packed = pack_scene_wide(data, background)
+                self.packed = pack_scene_wide(data, background, **pack_kwargs)
             else:
                 from shader_ray_tpu.ops.pallas.pack import pack_scene
 
-                self.packed = pack_scene(data, background)
+                self.packed = pack_scene(data, background, **pack_kwargs)
             self.scene = None
         elif self.engine == "wavefront":
             from shader_ray_tpu.ops.scene import upload_scene

@@ -4,12 +4,13 @@ Same wavefront structure as ops.render.trace_rays (the GLSL trace()
 loop, raytracer.es.fs:552-582) with the two gather-bound stages
 replaced by gather-free TPU implementations:
 
-* BVH traversal + normal interpolation -> ops.pallas.packet (Pallas
-  megakernel, rays on vector lanes, scalar hit/miss walk);
+* BVH traversal + normal interpolation -> ops.pallas.packet_wide
+  (8-wide short-stack Pallas megakernel; the binary hit/miss variant
+  in ops.pallas.packet is kept for comparison);
 * environment lookup -> ops.pallas.envmxu (one-hot bilinear matmuls
-  on the MXU) at the PackedScene env resolution, equivalent to the
-  reference's ``which = 0`` sampling mode (zero-gradient texture(),
-  fs:153) — the analytic-derivative modes stay on the CPU engine.
+  on the MXU): mode 0 samples the PackedScene base env; mode 1 is the
+  reference's textureGrad path (fs:146) — trilinear mip sampling from
+  the analytic ray-differential LOD over the full-res mip atlas.
 
 Everything else (Schlick, Lambert + hard shadows, filmic tonemap,
 camera ray gen) is elementwise math shared with the CPU engine.
@@ -27,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from shader_ray_tpu.ops.pallas.envmxu import sample_env_mxu
+from shader_ray_tpu.ops.pallas.envmxu import sample_env_mxu, sample_env_mxu_mip
 from shader_ray_tpu.ops.pallas.pack import PackedScene
 from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
 from shader_ray_tpu.ops.pallas.packet import INFINITELY_FAR, packet_trace
@@ -140,10 +141,17 @@ def trace_rays_packet(
             [jnp.abs(dudy) * 100.0, jnp.abs(dvdy) * 100.0, jnp.zeros_like(dudy)],
             axis=-1,
         )
+    elif statics.which == 1:
+        # textureGrad mode (fs:146): trilinear mip sampling on the MXU
+        # from the analytic ray-differential LOD, over the full-res
+        # atlas (GL LINEAR_MIPMAP_LINEAR, ray.cpp:499-510)
+        H0, W0 = packed.env_atlas_base
+        env = sample_env_mxu_mip(
+            packed.env_atlas, H0, W0, r.D, r.dDdx, r.dDdy
+        )
     else:
-        # modes 0 and 1: single-level bilinear lookup on the MXU (the
-        # packed env has no mip pyramid, so textureGrad mode 1 renders
-        # like the reference's zero-gradient default, fs:153)
+        # mode 0: base-level bilinear lookup on the MXU (the
+        # reference's zero-gradient default, fs:153)
         env = sample_env_mxu(packed.env, r.D)
     color = accumulated + modulation * env
     bad_color = jnp.array([1.0, 0.0, 0.0], f32)
@@ -350,15 +358,6 @@ def make_packet_render_fn(
         from shader_ray_tpu.parallel import replicate_scene
 
         packed = replicate_scene(packed, mesh)
-    if statics.which == 1:
-        import sys
-
-        print(
-            "packet engine: which=1 (textureGrad) renders as which=0 — "
-            "the packed env has no mip pyramid yet; use the wavefront "
-            "engine for gradient-filtered env sampling",
-            file=sys.stderr,
-        )
 
     @functools.partial(jax.jit, static_argnames=("statics_",))
     def _fn(packed_, params, statics_):

@@ -27,38 +27,13 @@ import jax.numpy as jnp
 from shader_ray_tpu.ops.envmap import env_coords
 
 
-def sample_env_mxu(
-    env: jnp.ndarray,
-    D: jnp.ndarray,
-    chunk: int = 2048,
-    precision: str = "bf16",
-) -> jnp.ndarray:
-    """Bilinear lat-long sample: env (H, W, 3) f32, D (R, 3) -> (R, 3).
-
-    ``precision``: "bf16" casts env + weights to bfloat16 for the MXU
-    contraction (accumulates f32); "f32" keeps everything f32.
-    """
-    R = D.shape[0]
-    H, W = env.shape[0], env.shape[1]
-    u, v = env_coords(D)  # u in [0,2) possibly, v in [0,1]
-
-    # texel-space coordinates, half-texel centers (GL_LINEAR semantics)
-    x = u * W - 0.5
-    y = (1.0 - v) * H - 0.5  # row 0 = top scanline = v=1 pole
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[:, None]
-    fy = (y - y0)[:, None]
-    x0i = jnp.mod(x0.astype(jnp.int32), W)
-    x1i = jnp.mod(x0i + 1, W)                       # u wraps
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)  # v clamps
-    y1i = jnp.clip(y0i + 1, 0, H - 1)
-
-    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    env_flat = env.reshape(H, W * 3).astype(dtype)
-
+def _bilinear_mxu(env_flat, rows, W, coords, chunk, dtype):
+    """Chunked two-hot bilinear contraction: env_flat (rows, W*3),
+    coords = per-ray (x0, x1, y0, y1, fx, fy) with y in ATLAS rows."""
+    x0i, x1i, y0i, y1i, fx, fy = coords
+    R = x0i.shape[0]
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, H), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
 
     def sample_chunk(args):
         x0c, x1c, y0c, y1c, fxc, fyc = args
@@ -77,7 +52,7 @@ def sample_env_mxu(
         )
 
     if R <= chunk:
-        return sample_chunk((x0i, x1i, y0i, y1i, fx, fy))
+        return sample_chunk(coords)
 
     pad = (-R) % chunk
     def padded(a):
@@ -85,8 +60,99 @@ def sample_env_mxu(
             a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
         return a.reshape(-1, chunk, *a.shape[1:])
 
-    out = jax.lax.map(
-        sample_chunk,
-        tuple(padded(a) for a in (x0i, x1i, y0i, y1i, fx, fy)),
-    )
+    out = jax.lax.map(sample_chunk, tuple(padded(a) for a in coords))
     return out.reshape(-1, 3)[:R]
+
+
+def sample_env_mxu(
+    env: jnp.ndarray,
+    D: jnp.ndarray,
+    chunk: int = 2048,
+    precision: str = "bf16",
+) -> jnp.ndarray:
+    """Bilinear lat-long sample: env (H, W, 3) f32, D (R, 3) -> (R, 3).
+
+    ``precision``: "bf16" casts env + weights to bfloat16 for the MXU
+    contraction (accumulates f32); "f32" keeps everything f32.
+    """
+    H, W = env.shape[0], env.shape[1]
+    u, v = env_coords(D)  # u in [0,2) possibly, v in [0,1]
+
+    # texel-space coordinates, half-texel centers (GL_LINEAR semantics)
+    x = u * W - 0.5
+    y = (1.0 - v) * H - 0.5  # row 0 = top scanline = v=1 pole
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), W)
+    x1i = jnp.mod(x0i + 1, W)                       # u wraps
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)  # v clamps
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    env_flat = env.reshape(H, W * 3).astype(dtype)
+    return _bilinear_mxu(
+        env_flat, H, W, (x0i, x1i, y0i, y1i, fx, fy), chunk, dtype
+    )
+
+
+def sample_env_mxu_mip(
+    atlas: jnp.ndarray,
+    base_h: int,
+    base_w: int,
+    D: jnp.ndarray,
+    dDdx: jnp.ndarray,
+    dDdy: jnp.ndarray,
+    chunk: int = 2048,
+    precision: str = "bf16",
+) -> jnp.ndarray:
+    """textureGrad-equivalent trilinear mip sampling on the MXU
+    (raytracer.es.fs:146; GL LINEAR_MIPMAP_LINEAR, ray.cpp:499-510).
+
+    ``atlas``: (2*base_h - 1, base_w*3) f32 — power-of-two mip levels
+    stacked vertically (pack.pack_env_atlas).  Per-ray level geometry
+    is ARITHMETIC (h_l = base_h >> l, off_l = 2*base_h - 2*h_l), so no
+    table gathers touch the axon XLA gather path.  LOD/trilinear math
+    matches the wavefront engine (ops/envmap.py:105-125) except the
+    chain stops at (1, w) instead of (1, 1) — one clamp level earlier,
+    visible only for footprints wider than the whole image.  REPEAT
+    wrap on both axes like the GL sampler state."""
+    from shader_ray_tpu.ops.envmap import env_derivatives
+
+    n_levels = base_h.bit_length()  # log2(base_h) + 1
+    rows = atlas.shape[0]
+    u, v = env_coords(D)
+    dudx, dvdx, dudy, dvdy = env_derivatives(D, dDdx, dDdy)
+    rho_x = jnp.sqrt((dudx * base_w) ** 2 + (dvdx * base_h) ** 2)
+    rho_y = jnp.sqrt((dudy * base_w) ** 2 + (dvdy * base_h) ** 2)
+    rho = jnp.maximum(rho_x, rho_y)
+    lod = jnp.clip(
+        jnp.log2(jnp.maximum(rho, 1e-12)), 0.0, float(n_levels - 1)
+    )
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    atlas_flat = atlas.astype(dtype)
+
+    def level_coords(l):
+        h = jnp.right_shift(base_h, l)
+        w = jnp.right_shift(base_w, l)
+        off = 2 * base_h - 2 * h
+        x = u * w.astype(jnp.float32) - 0.5
+        y = (1.0 - v) * h.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        x0i = jnp.mod(x0.astype(jnp.int32), w)
+        x1i = jnp.mod(x0i + 1, w)
+        y0i = off + jnp.mod(y0.astype(jnp.int32), h)
+        y1i = off + jnp.mod(y0.astype(jnp.int32) + 1, h)
+        return (x0i, x1i, y0i, y1i, fx, fy)
+
+    c0 = _bilinear_mxu(atlas_flat, rows, base_w, level_coords(l0), chunk, dtype)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    c1 = _bilinear_mxu(atlas_flat, rows, base_w, level_coords(l1), chunk, dtype)
+    return c0 * (1.0 - frac) + c1 * frac

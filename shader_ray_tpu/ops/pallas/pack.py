@@ -68,15 +68,17 @@ class PackedScene:
     """
 
     def __init__(self, leaves, links_smem, boxes_smem, meta_smem,
-                 tribase_smem, env,
+                 tribase_smem, env, env_atlas,
                  root: int, node_count: int, leaf_count: int, tri_count: int,
-                 box_quant: tuple, smem_ok: bool):
+                 box_quant: tuple, smem_ok: bool, env_atlas_base: tuple):
         self.leaves = leaves          # (groups*GROUP_ROWS, 126) f32 VMEM
         self.links_smem = links_smem  # (N*8,) i32, idx g*8+octant
         self.boxes_smem = boxes_smem  # (N*3,) i32 qmin<<16 | qmax per axis
         self.meta_smem = meta_smem    # (N,) i32 count<<26 | leaf_row
         self.tribase_smem = tribase_smem  # (L,) i32
         self.env = env                # (He, We, 3) f32 — MXU sampling res
+        self.env_atlas = env_atlas    # (2*H0-1, W0*3) f32 mip atlas (mode 1)
+        self.env_atlas_base = tuple(int(x) for x in env_atlas_base)
         self.root = int(root)
         self.node_count = int(node_count)
         self.leaf_count = int(leaf_count)
@@ -87,9 +89,10 @@ class PackedScene:
 
     def tree_flatten(self):
         leaves = (self.leaves, self.links_smem, self.boxes_smem,
-                  self.meta_smem, self.tribase_smem, self.env)
+                  self.meta_smem, self.tribase_smem, self.env,
+                  self.env_atlas)
         aux = (self.root, self.node_count, self.leaf_count, self.tri_count,
-               self.box_quant, self.smem_ok)
+               self.box_quant, self.smem_ok, self.env_atlas_base)
         return leaves, aux
 
     @classmethod
@@ -139,6 +142,7 @@ def pack_scene(
     env: np.ndarray,
     max_leaf_tests: int = LEAF_SLOTS,
     env_size: tuple[int, int] = (256, 512),
+    env_atlas_base: tuple[int, int] = (512, 1024),
 ) -> PackedScene:
     """Build packet tables from flattened SceneData (host, numpy)."""
     n = data.group_count
@@ -185,13 +189,42 @@ def pack_scene(
         meta_smem=jnp.asarray(np.ascontiguousarray(meta_smem)),
         tribase_smem=jnp.asarray(tribase_smem),
         env=jnp.asarray(env_small),
+        env_atlas=jnp.asarray(pack_env_atlas(env, env_atlas_base)),
         root=int(data.tree_root),
         node_count=n,
         leaf_count=L,
         tri_count=int(data.triangle_count),
         box_quant=(off[0], off[1], off[2], scale[0], scale[1], scale[2]),
         smem_ok=smem_ok,
+        env_atlas_base=env_atlas_base,
     )
+
+
+def pack_env_atlas(
+    env: np.ndarray, base: tuple[int, int] = (512, 1024)
+) -> np.ndarray:
+    """Power-of-two mip atlas for the MXU trilinear sampler
+    (envmxu.sample_env_mxu_mip): resample the env to ``base`` (H0, W0),
+    box-downsample levels until height 1, stack vertically into a
+    (2*H0 - 1, W0*3) flat array.  Level l occupies rows
+    [2*H0 - 2*(H0>>l), +H0>>l), cols [0, (W0>>l)*3) — offsets are pure
+    arithmetic in l, so per-ray level selection needs no table gather.
+    """
+    H0, W0 = base
+    assert H0 & (H0 - 1) == 0 and W0 & (W0 - 1) == 0, "base must be pow2"
+    assert W0 >= H0, "lat-long env must be at least as wide as tall"
+    cur = _resize_env(np.asarray(env, np.float32), H0, W0)
+    atlas = np.zeros((2 * H0 - 1, W0 * 3), np.float32)
+    h, w, off = H0, W0, 0
+    while True:
+        atlas[off : off + h, : w * 3] = cur.reshape(h, w * 3)
+        if h == 1:
+            break
+        off += h
+        h //= 2
+        w //= 2
+        cur = cur.reshape(h, 2, w, 2, 3).mean(axis=(1, 3))
+    return atlas
 
 
 def _resize_env(img: np.ndarray, H: int, W: int) -> np.ndarray:

@@ -45,6 +45,7 @@ from shader_ray_tpu.models.world import SceneData
 from shader_ray_tpu.ops.pallas.pack import (
     LEAF_SLOTS,
     QBITS,
+    pack_env_atlas,
     pack_leaf_groups,
     _resize_env,
 )
@@ -59,9 +60,10 @@ class PackedSceneWide:
     operands threaded as traced arguments)."""
 
     def __init__(self, leaves, boxes_smem, cmeta_smem, order_smem,
-                 masks_smem, tribase_smem, env,
+                 masks_smem, tribase_smem, env, env_atlas,
                  n_wide: int, leaf_count: int, tri_count: int,
-                 node_count: int, stack_depth: int, box_quant: tuple):
+                 node_count: int, stack_depth: int, box_quant: tuple,
+                 env_atlas_base: tuple = (512, 1024)):
         self.leaves = leaves              # (groups*16, 126) f32 VMEM
         self.boxes_smem = boxes_smem      # ((Nw*8)*3,) i32
         self.cmeta_smem = cmeta_smem      # (Nw*8,) i32
@@ -69,6 +71,8 @@ class PackedSceneWide:
         self.masks_smem = masks_smem      # (Nw,) i32
         self.tribase_smem = tribase_smem  # (L,) i32
         self.env = env                    # (He, We, 3) f32
+        self.env_atlas = env_atlas        # (2*H0-1, W0*3) f32 mip atlas
+        self.env_atlas_base = tuple(int(x) for x in env_atlas_base)
         self.n_wide = int(n_wide)
         self.leaf_count = int(leaf_count)
         self.tri_count = int(tri_count)
@@ -80,9 +84,10 @@ class PackedSceneWide:
     def tree_flatten(self):
         leaves = (self.leaves, self.boxes_smem, self.cmeta_smem,
                   self.order_smem, self.masks_smem, self.tribase_smem,
-                  self.env)
+                  self.env, self.env_atlas)
         aux = (self.n_wide, self.leaf_count, self.tri_count,
-               self.node_count, self.stack_depth, self.box_quant)
+               self.node_count, self.stack_depth, self.box_quant,
+               self.env_atlas_base)
         return leaves, aux
 
     @classmethod
@@ -157,6 +162,7 @@ def pack_scene_wide(
     env: np.ndarray,
     max_leaf_tests: int = LEAF_SLOTS,
     env_size: tuple[int, int] = (256, 512),
+    env_atlas_base: tuple[int, int] = (512, 1024),
 ) -> PackedSceneWide:
     """Build wide packet tables from flattened SceneData (host)."""
     leaves, tribase, leaf_row_of, counts, L = pack_leaf_groups(
@@ -231,10 +237,12 @@ def pack_scene_wide(
         masks_smem=as_i32(masks),
         tribase_smem=jnp.asarray(tribase),
         env=jnp.asarray(env_small),
+        env_atlas=jnp.asarray(pack_env_atlas(env, env_atlas_base)),
         n_wide=Nw,
         leaf_count=L,
         tri_count=int(data.triangle_count),
         node_count=int(data.group_count),
         stack_depth=int(stack_depth),
         box_quant=(off[0], off[1], off[2], scale[0], scale[1], scale[2]),
+        env_atlas_base=env_atlas_base,
     )

@@ -155,3 +155,53 @@ def test_wide_empty_scene():
     )
     assert (np.asarray(got.t) >= 1e7).all()
     assert not np.asarray(got.bad).any()
+
+
+def test_which1_texturegrad_parity(sphere):
+    """Packet mode 1 (MXU trilinear mip atlas) vs the wavefront
+    engine's textureGrad path, identical (512, 1024) base level —
+    VERDICT r1 missing #1/#3."""
+    data = sphere
+    env = procedural_sky(1024)  # (512, 1024) = atlas base, pow2
+    scene = upload_scene(data, env)
+    packed = pack_scene_wide(
+        data, env, env_size=(512, 1024), env_atlas_base=(512, 1024)
+    )
+    assert packed.env_atlas.shape == (1023, 3072)
+
+    statics = RenderStatics(width=40, height=32, tile_size=512, which=1)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(mat4.make_translation(0, 0, 3.0).astype(np.float32)),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.3, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32)),
+    )
+    ref = np.asarray(render_frame(scene, params, statics))
+    got = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024, interpret=True)
+    )
+    # bf16 MXU contraction vs f32 gathers: HDR-scaled tolerance
+    np.testing.assert_allclose(got, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_wide_large_scene_over_32k_nodes(rng):
+    """A ~340k-triangle scene (binary nodes >> 32768, the binary
+    engine's SMEM cap) renders correctly on the wide packet path —
+    VERDICT r1 missing #2 / next #5."""
+    from shader_ray_tpu.models.fixtures import bunny_class_scene
+
+    pos, _ = bunny_class_scene(340_000)
+    ts = TriangleSet.from_arrays(pos)
+    data = get_shader_data(make_world(ts))
+    assert data.group_count > 32768  # beyond the binary engine's cap
+
+    packed = pack_scene_wide(data, procedural_sky(64))
+    scene = upload_scene(data, procedural_sky(64))
+    P = (rng.normal(size=(256, 3)) * 0.1 + [0, 0, 3]).astype(np.float32)
+    D = ([0, 0, -1.0] + 0.2 * rng.normal(size=(256, 3))).astype(np.float32)
+
+    ref = traverse(scene, jnp.asarray(P), jnp.asarray(D))
+    got = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True
+    )
+    np.testing.assert_allclose(got.t, ref.t, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got.which, ref.which)
