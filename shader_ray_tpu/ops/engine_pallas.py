@@ -31,7 +31,7 @@ import numpy as np
 from shader_ray_tpu.ops.pallas.envmxu import sample_env_mxu, sample_env_mxu_mip
 from shader_ray_tpu.ops.pallas.pack import PackedScene
 from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
-from shader_ray_tpu.ops.pallas.packet import INFINITELY_FAR, packet_trace
+from shader_ray_tpu.ops.pallas.packet import FOLD, INFINITELY_FAR, packet_trace
 from shader_ray_tpu.ops.pallas.packet_wide import packet_trace_wide
 from shader_ray_tpu.ops.render import FrameParams, RenderStatics, generate_rays
 from shader_ray_tpu.ops.shading import (
@@ -54,6 +54,7 @@ def trace_rays_packet(
     interleave: int = 2,
     max_steps: int | None = None,
     with_counts: bool = False,
+    prefolded: bool = False,
 ) -> jnp.ndarray:
     """The 3-bounce trace loop over a full ray batch -> linear color.
 
@@ -80,6 +81,7 @@ def trace_rays_packet(
         mt_eps=statics.mt_eps,
         interleave=interleave,
         interpret=interpret,
+        prefolded=prefolded,
     )
 
     for _bounce in range(statics.bounce_count):
@@ -197,8 +199,23 @@ def _unswizzle(x: jnp.ndarray, H, W, bh, bw):
     )
 
 
+def _lane_fold_perm(x: jnp.ndarray, tile: int, fold: int) -> jnp.ndarray:
+    """(R, c) block-swizzled ray order -> kernel-lane order, so the
+    per-trace folds inside packet_trace become pure reshapes.  Applied
+    ONCE per frame (vs one transpose pass per component per trace)."""
+    R = x.shape[0]
+    nt, C = R // tile, tile // fold
+    return x.reshape(nt, fold, C, -1).transpose(1, 0, 2, 3).reshape(R, -1)
+
+
+def _lane_unfold_perm(x: jnp.ndarray, tile: int, fold: int) -> jnp.ndarray:
+    R = x.shape[0]
+    nt, C = R // tile, tile // fold
+    return x.reshape(fold, nt, C, -1).transpose(1, 0, 2, 3).reshape(R, -1)
+
+
 def _make_trace(packed, params, statics, tile, interpret, interleave,
-                max_steps, mesh):
+                max_steps, mesh, prefolded=False):
     """Trace closure over a (R, 3)-column Rays batch; when ``mesh`` is
     given, shard the batch 1-D over its ``("rays",)`` axis with
     shard_map — scene tables and params replicated, zero collectives in
@@ -208,7 +225,7 @@ def _make_trace(packed, params, statics, tile, interpret, interleave,
     def local(packed_, params_, rays_):
         return trace_rays_packet(
             packed_, rays_, params_, statics, tile, interpret, interleave,
-            max_steps,
+            max_steps, prefolded=prefolded,
         )
 
     if mesh is None:
@@ -257,8 +274,17 @@ def render_frame_packet(
     bh, bw = _block_dims(H, W, tile)
     if bh > 1:
         rays = Rays(*[_swizzle(x, H, W, bh, bw) for x in rays])
+    # kernel-lane permutation applied once per frame (folds inside each
+    # of the up-to-6 traces then reduce to reshapes); the sharded path
+    # keeps pixel order so shard slicing stays contiguous
+    prefolded = (
+        mesh is None and statics.which not in (3,) and (H * W) % tile == 0
+    )
+    if prefolded:
+        rays = Rays(*[_lane_fold_perm(x, tile, FOLD) for x in rays])
     trace_batch = _make_trace(
-        packed, params, statics, tile, interpret, interleave, max_steps, mesh
+        packed, params, statics, tile, interpret, interleave, max_steps,
+        mesh, prefolded,
     )
 
     if statics.which == 3:
@@ -303,6 +329,8 @@ def render_frame_packet(
     else:
         color = trace_batch(rays)
 
+    if prefolded:
+        color = _lane_unfold_perm(color, tile, FOLD)
     if bh > 1:
         color = _unswizzle(color, H, W, bh, bw)
     if statics.do_tonemap:

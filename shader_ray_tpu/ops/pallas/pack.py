@@ -118,11 +118,11 @@ def pack_leaf_groups(data: SceneData, max_leaf_tests: int = LEAF_SLOTS):
     counts = np.minimum(data.node_objects[:, 1], max_leaf_tests).astype(np.int32)
     counts = np.where(is_leaf, counts, 0)
 
-    # leaf groups: slot-major rows, LEAVES_PER_GROUP leaves across lanes
+    # leaf groups: slot-major rows, LEAVES_PER_GROUP leaves across the
+    # first 126 lanes; padded to the full 128 so DMA slices of the
+    # table are lane-aligned (Mosaic requires 128-multiple slices)
     groups = -(-L // LEAVES_PER_GROUP)
-    leaves = np.zeros(
-        (groups * GROUP_ROWS, LEAVES_PER_GROUP * LEAF_RECORD), np.float32
-    )
+    leaves = np.zeros((groups * GROUP_ROWS, LANES), np.float32)
     for row, g in enumerate(leaf_ids):
         start = int(data.node_objects[g, 0])
         cnt = int(counts[g])

@@ -39,23 +39,35 @@ def packet_trace_wide(
     interleave: int = 2,
     with_stats: bool = False,
     interpret: bool = False,
-    leaf_mode: str = "vec",
+    leaf_mode: str = "scalar",
+    prefolded: bool = False,
 ) -> PacketHit:
     """Trace a batch of object-space rays.  P, D: (R, 3) float32.
-    ``tile`` must be a multiple of 1024 (8 sublanes x 128 lanes)."""
+    ``tile`` must be a multiple of 1024 (8 sublanes x 128 lanes).
+    ``prefolded``: rays arrive in kernel-lane order (see
+    packet.packet_trace) — folds become reshapes, results stay laned.
+    """
     assert tile % (FOLD * 128) == 0, "wide kernel tile must be a multiple of 1024"
     fold = FOLD
     R = P.shape[0]
-    pad = (-R) % tile
+    pad = 0 if prefolded else (-R) % tile
+    if prefolded:
+        assert R % tile == 0, "prefolded rays must divide the tile size"
     Rp = R + pad
     n_tiles = Rp // tile
     C = tile // fold
+
+    fold_in = (
+        (lambda c: c.reshape(fold, n_tiles * C))
+        if prefolded
+        else (lambda c: _fold(c, n_tiles, tile, fold))
+    )
 
     def prep(x):
         x = jnp.asarray(x, jnp.float32)
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
-        comps = [_fold(x[:, c], n_tiles, tile, fold) for c in range(3)]
+        comps = [fold_in(x[:, c]) for c in range(3)]
         return jnp.concatenate(comps, axis=0)  # (3*FOLD, n_tiles*C)
 
     Pt = prep(P)
@@ -66,7 +78,7 @@ def packet_trace_wide(
         actv = jnp.asarray(active).astype(jnp.float32).reshape(R)
         if pad:
             actv = jnp.concatenate([actv, jnp.zeros((pad,), jnp.float32)])
-    actt = _fold(actv, n_tiles, tile, fold)
+    actt = fold_in(actv)
 
     if max_steps is None:
         # a tree walk pops each wide node at most once
@@ -145,7 +157,11 @@ def packet_trace_wide(
     t, which, n, bad = outs[:4]
     stats = outs[4] if with_stats else None
 
-    un = lambda x: _unfold(x, n_tiles, tile, fold)[:R]
+    un = (
+        (lambda x: x.reshape(Rp))
+        if prefolded
+        else (lambda x: _unfold(x, n_tiles, tile, fold)[:R])
+    )
     normal = jnp.stack(
         [un(n[0:fold]), un(n[fold : 2 * fold]), un(n[2 * fold :])], axis=-1
     )
