@@ -40,7 +40,7 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "5"))
 # batch (the REPL's `prog N`) renders N jittered frames in ONE device
 # dispatch, amortizing the ~40 ms axon host round-trip that otherwise
 # dominates a 1024x768 frame.  BENCH_BATCH=1 times bare single frames.
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 TARGET_MRAYS = 200.0
 
 
@@ -115,16 +115,15 @@ def main() -> None:
     # REPL `prog N`), amortizing the per-dispatch host round-trip
     t = t_single
     if BATCH > 1:
-        pfn = renderer.make_progressive_fn(statics, BATCH)
+        # the batch fn returns its own device-side checksum: ONE
+        # dispatch per timed batch
+        pfn = renderer.make_progressive_fn(statics, BATCH, reduce_sum=True)
         if pfn is not None:
-            # fence via a separate tiny sum dispatch (re-jitting over
-            # pfn would close over the packed scene, which stalls the
-            # axon compiler when closure constants feed a pallas_call)
-            np.asarray(jnp.sum(pfn(params)))
+            np.asarray(pfn(params))
             btimes = []
             for _ in range(FRAMES):
                 t0 = time.perf_counter()
-                np.asarray(jnp.sum(pfn(params)))
+                np.asarray(pfn(params))
                 btimes.append(time.perf_counter() - t0)
             t = float(np.median(btimes)) / BATCH
 

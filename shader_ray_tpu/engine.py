@@ -108,13 +108,17 @@ class Renderer:
 
         return make_render_fn(self.scene, statics)
 
-    def make_progressive_fn(self, statics: RenderStatics, samples: int):
+    def make_progressive_fn(
+        self, statics: RenderStatics, samples: int, reduce_sum: bool = False
+    ):
         """Jitted ``fn(params) -> (H, W, 3)`` averaging ``samples``
         Halton-jittered frames.  On the packet engine the whole batch
-        runs in ONE dispatch (lax.map on device) — the per-dispatch
-        host round-trip is paid once per batch, not once per sample.
-        Returns None when the engine has no device-batched path (the
-        caller falls back to a host loop)."""
+        runs in ONE dispatch (device scan) — the per-dispatch host
+        round-trip is paid once per batch, not once per sample.
+        ``reduce_sum`` returns the frame checksum instead (benchmark
+        fencing without a second dispatch).  Returns None when the
+        engine has no device-batched path (the caller falls back to a
+        host loop)."""
         if self.engine != "packet":
             return None
         import functools
@@ -132,17 +136,20 @@ class Renderer:
         )
         interpret = jax.default_backend() != "tpu"
 
-        @functools.partial(jax.jit, static_argnames=("statics_",))
-        def _fn(packed_, jitters_, params, statics_):
-            return render_progressive_packet(
+        @functools.partial(jax.jit, static_argnames=("statics_", "rsum"))
+        def _fn(packed_, jitters_, params, statics_, rsum):
+            out = render_progressive_packet(
                 packed_, params, statics_, jitters_,
                 tile=self.cfg.ray_tile, interpret=interpret,
                 interleave=self.cfg.packet_interleave,
                 max_steps=self.cfg.packet_max_steps or None,
                 mesh=self.mesh,
             )
+            return jnp.sum(out) if rsum else out
 
-        return lambda params: _fn(self.packed, jitters, params, statics)
+        return lambda params: _fn(
+            self.packed, jitters, params, statics, reduce_sum
+        )
 
     def make_count_fn(self, statics: RenderStatics):
         """Jitted ``fn(params) -> rays actually cast`` for one frame:

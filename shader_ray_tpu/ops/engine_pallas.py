@@ -357,13 +357,17 @@ def render_progressive_packet(
     App.render_progressive)."""
     inner = statics._replace(do_tonemap=False)
 
-    def one(jit2):
+    def step(acc, jit2):
         prm = params._replace(pixel_jitter=jit2)
-        return render_frame_packet(
+        frame = render_frame_packet(
             packed, prm, inner, tile, interpret, interleave, max_steps, mesh
         )
+        return acc + frame, None
 
-    acc = jax.lax.map(one, jitters).sum(axis=0) / jitters.shape[0]
+    # scan with a running-sum carry: no (K, H, W, 3) stack materializes
+    acc0 = jnp.zeros((statics.height, statics.width, 3), jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, jitters)
+    acc = acc / jitters.shape[0]
     if statics.do_tonemap:
         acc = tonemap_and_gamma(acc, statics.use_filmic)
     return acc

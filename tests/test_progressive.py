@@ -41,3 +41,59 @@ def test_progressive_reduces_edge_variance(app):
     d_28 = np.abs(p2 - p16).mean()
     d_816 = np.abs(p8 - p16).mean()
     assert d_816 <= d_28 + 1e-6
+
+
+def test_device_batched_progressive_matches_host_loop():
+    """render_progressive_packet (one-dispatch scan) == averaging the
+    same jittered frames host-side, packet engine, interpret mode."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shader_ray_tpu.models.fixtures import procedural_sky, uv_sphere
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import get_shader_data, make_world
+    from shader_ray_tpu.ops.engine_pallas import (
+        render_frame_packet,
+        render_progressive_packet,
+    )
+    from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+    from shader_ray_tpu.ops.render import RenderStatics, default_frame_params
+    from shader_ray_tpu.ops.shading import tonemap_and_gamma
+    from shader_ray_tpu.utils import mat4
+    from shader_ray_tpu.utils.halton import halton
+
+    pos, _ = uv_sphere(lat=6, lon=8)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    packed = pack_scene_wide(data, procedural_sky(64))
+    statics = RenderStatics(width=32, height=32, tile_size=256)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0, 0, 3.0).astype(np.float32)
+        )
+    )
+    jitters = jnp.asarray(
+        [[halton(s + 1, 2) - 0.5, halton(s + 1, 3) - 0.5] for s in range(3)],
+        jnp.float32,
+    )
+    got = np.asarray(
+        render_progressive_packet(
+            packed, params, statics, jitters, tile=1024, interpret=True
+        )
+    )
+
+    inner = statics._replace(do_tonemap=False)
+    acc = None
+    for j in np.asarray(jitters):
+        f = np.asarray(
+            render_frame_packet(
+                packed,
+                params._replace(pixel_jitter=jnp.asarray(j)),
+                inner,
+                tile=1024,
+                interpret=True,
+            )
+        )
+        acc = f if acc is None else acc + f
+    ref = np.asarray(tonemap_and_gamma(jnp.asarray(acc / 3.0), True))
+    # f32 accumulation-order differences (device scan vs host loop)
+    np.testing.assert_allclose(got, ref, atol=1e-3)
