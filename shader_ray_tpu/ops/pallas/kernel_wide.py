@@ -50,14 +50,18 @@ LEAF_LANES = LEAVES_PER_GROUP * LEAF_RECORD  # 126
 def leaf_tests_smem(
     buf, w, r, sub, tbase, lcount, gate, t, which, nx, ny, nz, mt_eps,
 ):
-    """Moller-Trumbore over one leaf's <= 10 triangles with vertex
-    data read as SMEM scalars from the DMA'd leaf-group buffer ``buf``
-    (rows [w*16, w*16+16)) — scalar loads splat natively, so there is
-    no vector->scalar extraction in the chain."""
+    """Moller-Trumbore over one leaf's triangles with vertex data read
+    as SMEM scalars from the DMA'd leaf-group buffer ``buf`` (rows
+    [w*16, w*16+16)) — scalar loads splat natively, so there is no
+    vector->scalar extraction in the chain, AND the slot loop is a
+    dynamic fori_loop to the leaf's actual count (the static variant
+    always pays all 10 slots; the average leaf holds ~7)."""
     cbase = sub * LEAF_RECORD
     Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
     Dx, Dy, Dz = r["Dx"], r["Dy"], r["Dz"]
-    for k in range(LEAF_SLOTS):
+
+    def slot(k, st):
+        t, which, nx, ny, nz = st
         e = lambda c: buf[w * GROUP_ROWS + k, cbase + c]
         v0x, v0y, v0z = e(0), e(1), e(2)
         e0x, e0y, e0z = e(3) - v0x, e(4) - v0y, e(5) - v0z   # v1 - v0
@@ -79,7 +83,7 @@ def leaf_tests_smem(
         ok = ok & (u >= 0.0) & (u <= 1.0)
         v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
         ok = ok & (v >= 0.0) & (u + v <= 1.0)
-        take = ok & gate & (k < lcount)
+        take = ok & gate
 
         t = jnp.where(take, d, t)
         which = jnp.where(take, tbase + k, which)
@@ -87,6 +91,11 @@ def leaf_tests_smem(
         nx = jnp.where(take, e(9) * w0 + e(12) * u + e(15) * v, nx)
         ny = jnp.where(take, e(10) * w0 + e(13) * u + e(16) * v, ny)
         nz = jnp.where(take, e(11) * w0 + e(14) * u + e(17) * v, nz)
+        return (t, which, nx, ny, nz)
+
+    t, which, nx, ny, nz = jax.lax.fori_loop(
+        0, lcount, slot, (t, which, nx, ny, nz)
+    )
     return t, which, nx, ny, nz
 
 

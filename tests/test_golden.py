@@ -66,3 +66,17 @@ def test_packet_matches_golden(setup):
     diff = np.abs(img - golden)
     assert diff.mean() < 5e-3, f"mean diff {diff.mean()}"
     assert (diff.max(axis=-1) > 5e-2).mean() < 0.01, "too many off pixels"
+
+
+def test_wide_packet_matches_golden(setup):
+    """The production (8-wide) packet engine stays on the committed
+    golden frame too."""
+    from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+
+    data, statics, params = setup
+    packed = pack_scene_wide(data, procedural_sky(256), env_size=(128, 256))
+    img = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024, interpret=True)
+    )
+    golden = np.load(GOLDEN)
+    np.testing.assert_allclose(img, golden, atol=3e-2)
