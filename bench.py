@@ -45,6 +45,7 @@ TARGET_MRAYS = 200.0
 
 
 def build_scene_data():
+    from shader_ray_tpu.config import get_config
     from shader_ray_tpu.models.fixtures import bunny_class_scene, procedural_sky
     from shader_ray_tpu.models.triangle_set import TriangleSet
     from shader_ray_tpu.models.world import get_shader_data, make_world
@@ -56,7 +57,12 @@ def build_scene_data():
         world = make_world(ts)
         return get_shader_data(world)
 
-    data = cached_scene_data("bench-bunny-class-69k", builder, verbose=True)
+    cfg = get_config()
+    key = (
+        "bench-bunny-class-69k"
+        f"-l{cfg.bvh_leaf_max}-d{cfg.bvh_max_depth}"
+    )
+    data = cached_scene_data(key, builder, verbose=True)
     return data, procedural_sky(2048)
 
 

@@ -33,6 +33,7 @@ RANGE_T1 = 1.0e8         # fs:463,491
 def leaf_tests(
     leaves_ref, r, lrow, tbase, lcount,
     mask, d_lo, d_hi, t, which, nx, ny, nz, mt_eps,
+    leaf_slots: int = LEAF_SLOTS,
 ):
     """Slot-parallel Moller-Trumbore over one leaf's <= 10 triangles
     (raytracer.es.fs:297-345 early-outs as lane masks) with at-accept
@@ -55,7 +56,7 @@ def leaf_tests(
 
     Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
     Dx, Dy, Dz = r["Dx"], r["Dy"], r["Dz"]
-    for k in range(LEAF_SLOTS):
+    for k in range(leaf_slots):
         # true scalar extraction (a reduction) — Mosaic folds
         # broadcast+slice chains back into an unsupported
         # (1,1)->(F,C) two-axis broadcast; scalar splat is native

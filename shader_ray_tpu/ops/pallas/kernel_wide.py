@@ -125,6 +125,7 @@ def wide_kernel(
     any_hit: bool = False,
     with_stats: bool = False,
     leaf_mode: str = "dma",  # "dma" | "scalar" | "skip" (walk-cost probe)
+    leaf_slots: int = 10,    # static slot-unroll bound (scene max count)
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -259,6 +260,7 @@ def wide_kernel(
                         leaves_ref, r, lrow, tb, cnt,
                         gate, 0.0, RANGE_T1,
                         t_, which_, nx_, ny_, nz_, mt_eps,
+                        leaf_slots=leaf_slots,
                     )
                 return (lb & ~(1 << p), leafs_ + 1, t_, which_, nx_, ny_, nz_)
 

@@ -63,7 +63,7 @@ class PackedSceneWide:
                  masks_smem, tribase_smem, env, env_atlas,
                  n_wide: int, leaf_count: int, tri_count: int,
                  node_count: int, stack_depth: int, box_quant: tuple,
-                 env_atlas_base: tuple = (512, 1024)):
+                 env_atlas_base: tuple = (512, 1024), max_count: int = 10):
         self.leaves = leaves              # (groups*16, 126) f32 VMEM
         self.boxes_smem = boxes_smem      # ((Nw*8)*3,) i32
         self.cmeta_smem = cmeta_smem      # (Nw*8,) i32
@@ -80,6 +80,9 @@ class PackedSceneWide:
         self.stack_depth = int(stack_depth)
         # static dequant affine: (ox, oy, oz, sx, sy, sz)
         self.box_quant = tuple(float(v) for v in box_quant)
+        # largest actual leaf count: the kernel's static slot-unroll
+        # bound (smaller BVH_LEAF_MAX -> shorter leaf tests)
+        self.max_count = int(max_count)
 
     def tree_flatten(self):
         leaves = (self.leaves, self.boxes_smem, self.cmeta_smem,
@@ -87,7 +90,7 @@ class PackedSceneWide:
                   self.env, self.env_atlas)
         aux = (self.n_wide, self.leaf_count, self.tri_count,
                self.node_count, self.stack_depth, self.box_quant,
-               self.env_atlas_base)
+               self.env_atlas_base, self.max_count)
         return leaves, aux
 
     @classmethod
@@ -245,4 +248,5 @@ def pack_scene_wide(
         stack_depth=int(stack_depth),
         box_quant=(off[0], off[1], off[2], scale[0], scale[1], scale[2]),
         env_atlas_base=env_atlas_base,
+        max_count=int(max(1, counts.max())) if counts.size else 1,
     )

@@ -100,6 +100,7 @@ def packet_trace_wide(
         any_hit=any_hit,
         with_stats=with_stats,
         leaf_mode=leaf_mode,
+        leaf_slots=scene.max_count,
     )
 
     full = lambda shape: pl.BlockSpec(
