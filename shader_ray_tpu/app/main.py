@@ -33,6 +33,7 @@ extra (headless equivalents of mouse gestures):
   zoom DY      shift-drag zoom by DY pixels (negative = zoom in)
   render [F]   force a frame; optionally write it to file F (.ppm)
   prog [N]     progressive render: average N jittered samples (default 4)
+  view         toggle inline ANSI-truecolor display of each frame
   help         this text
 """
 
@@ -86,13 +87,20 @@ def build_app(args) -> "App":
     return App(world, renderer, cfg, width=args.width, height=args.height)
 
 
-def repl(app, out_path: str, stream) -> None:
-    frame = app.render()
-    if frame is not None:
+def repl(app, out_path: str, stream, view: bool = False) -> None:
+    def emit(frame):
         from shader_ray_tpu.utils.ppm import write_ppm
 
         write_ppm(out_path, frame)
         print(f"wrote {out_path}", file=sys.stderr)
+        if view:
+            from shader_ray_tpu.utils.ansi import print_frame
+
+            print_frame(frame)
+
+    frame = app.render()
+    if frame is not None:
+        emit(frame)
 
     for line in stream:
         line = line.strip()
@@ -102,6 +110,14 @@ def repl(app, out_path: str, stream) -> None:
         cmd = parts[0]
         if cmd == "help":
             print(HELP, end="")
+        elif cmd == "view":
+            view = not view
+            print(f"view = {view}", file=sys.stderr)
+            if view and app._frame is not None:
+                from shader_ray_tpu.utils.ansi import print_frame
+
+                print_frame(app._frame)
+            continue
         elif cmd == "drag" and len(parts) == 3:
             app.drag(float(parts[1]), float(parts[2]))
         elif cmd == "zoom" and len(parts) == 2:
@@ -109,10 +125,8 @@ def repl(app, out_path: str, stream) -> None:
         elif cmd == "prog":
             n = int(parts[1]) if len(parts) > 1 else 4
             frame = app.render_progressive(n)
-            from shader_ray_tpu.utils.ppm import write_ppm
-
-            write_ppm(out_path, frame)
-            print(f"wrote {out_path} ({n} samples)", file=sys.stderr)
+            emit(frame)
+            print(f"({n} samples)", file=sys.stderr)
             continue
         elif cmd == "render":
             app.redraw = True
@@ -122,6 +136,10 @@ def repl(app, out_path: str, stream) -> None:
 
             write_ppm(path, frame)
             print(f"wrote {path}", file=sys.stderr)
+            if view:
+                from shader_ray_tpu.utils.ansi import print_frame
+
+                print_frame(frame)
             continue
         else:
             for ch in cmd:
@@ -133,10 +151,7 @@ def repl(app, out_path: str, stream) -> None:
             break
         frame = app.render()
         if frame is not None:
-            from shader_ray_tpu.utils.ppm import write_ppm
-
-            write_ppm(out_path, frame)
-            print(f"wrote {out_path}", file=sys.stderr)
+            emit(frame)
 
 
 def main(argv=None) -> int:
@@ -176,6 +191,12 @@ def main(argv=None) -> int:
     p.add_argument(
         "--once", action="store_true", help="render one frame and exit (no REPL)"
     )
+    p.add_argument(
+        "--view",
+        action="store_true",
+        help="display each frame inline as ANSI truecolor (the headless "
+        "analog of the reference's live window)",
+    )
     args = p.parse_args(argv)
 
     try:
@@ -190,8 +211,12 @@ def main(argv=None) -> int:
 
         write_ppm(args.out, frame)
         print(f"wrote {args.out}", file=sys.stderr)
+        if args.view:
+            from shader_ray_tpu.utils.ansi import print_frame
+
+            print_frame(frame)
         return 0
-    repl(app, args.out, sys.stdin)
+    repl(app, args.out, sys.stdin, view=args.view)
     return 0
 
 

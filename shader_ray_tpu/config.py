@@ -63,6 +63,8 @@ class Config:
     packet_interleave: int = 1       # interleaved sub-packet walks per step
     packet_max_steps: int = 0        # packet walk budget; 0 = 2*nodes+2
     debug_nans: bool = False         # jax_debug_nans (SURVEY 5.2 sanitizer)
+    validate_scene: bool = False     # structural index-bounds sanitizer
+                                     # at scene upload (SURVEY 5.2)
     scene_cache: bool = True         # cache compiled scenes (SURVEY 5.4)
     use_native: str = "auto"         # "auto" | "never" | "require" C++ libscene
 
@@ -85,6 +87,7 @@ class Config:
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
         c.packet_max_steps = _env_int("SRT_MAX_STEPS", c.packet_max_steps)
         c.debug_nans = os.environ.get("SRT_DEBUG_NANS") is not None
+        c.validate_scene = os.environ.get("SRT_VALIDATE") is not None
         if os.environ.get("SRT_NATIVE"):
             c.use_native = os.environ["SRT_NATIVE"]
         return c

@@ -58,6 +58,13 @@ class Renderer:
             # reference's -ffinite-math-only "NaNs are UB" posture,
             # inverted into a detector)
             jax.config.update("jax_debug_nans", True)
+        if cfg.validate_scene:
+            # SURVEY 5.2: structural index-bounds sanitizer — the
+            # gather-free kernels are table-driven, so bounds are
+            # checked where violations are attributable (pack time)
+            from shader_ray_tpu.models.validate import validate_scene_data
+
+            validate_scene_data(data)
         if self.engine == "packet":
             pack_kwargs = dict(
                 env_size=(cfg.env_res, 2 * cfg.env_res),
