@@ -361,3 +361,282 @@ int32_t srt_bvh_leaf_count(void* handle) {
 void srt_bvh_free(void* handle) { delete static_cast<Builder*>(handle); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native scene-file loaders (reference trisrc-support.cpp:43-104 and
+// obj-support.cpp:226-350 equivalents; same grammar and numeric
+// behavior as the Python parsers in shader_ray_tpu/models/, which stay
+// as the portable fallback).  Two-pass API: *_count sizes the arrays,
+// *_parse fills caller-allocated buffers.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+#include <string>
+
+namespace {
+
+bool read_file(const char* path, std::string* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  out->resize((size_t)n);
+  size_t got = n ? std::fread(&(*out)[0], 1, (size_t)n, f) : 0;
+  std::fclose(f);
+  return got == (size_t)n;
+}
+
+// trisrc tokenizer: quoted strings are single tokens (may contain
+// whitespace), everything else splits on whitespace.
+struct TrisrcTok {
+  const std::string& s;
+  size_t pos = 0;
+  explicit TrisrcTok(const std::string& text) : s(text) {}
+  // returns token kind: 0 = end, 1 = quoted, 2 = plain, -1 = error
+  int next(std::string* tok) {
+    while (pos < s.size() && std::isspace((unsigned char)s[pos])) ++pos;
+    if (pos >= s.size()) return 0;
+    if (s[pos] == '"') {
+      size_t end = s.find('"', pos + 1);
+      if (end == std::string::npos) return -1;
+      *tok = s.substr(pos, end - pos + 1);
+      pos = end + 1;
+      return 1;
+    }
+    size_t end = pos;
+    while (end < s.size() && !std::isspace((unsigned char)s[end])) ++end;
+    *tok = s.substr(pos, end - pos);
+    pos = end;
+    return 2;
+  }
+};
+
+int64_t trisrc_scan(const std::string& text, double scale, double gamma,
+                    int linear, float* pos, float* nrm, float* col) {
+  TrisrcTok tk(text);
+  std::string tok;
+  int64_t T = 0;
+  for (;;) {
+    int kind = tk.next(&tok);
+    if (kind == 0) break;
+    if (kind != 1) return -2;  // expected quoted texture name
+    if (tk.next(&tok) <= 0) return -2;  // tag
+    double spec[5];
+    for (int i = 0; i < 5; ++i) {
+      if (tk.next(&tok) <= 0) return -2;
+      spec[i] = std::strtod(tok.c_str(), nullptr);
+    }
+    (void)spec;  // materials parsed but discarded (trisrc-support.cpp:88)
+    double vals[36];
+    for (int i = 0; i < 36; ++i) {
+      if (tk.next(&tok) <= 0) return -2;
+      vals[i] = std::strtod(tok.c_str(), nullptr);
+    }
+    if (pos) {
+      for (int v = 0; v < 3; ++v) {
+        const double* rec = vals + v * 12;
+        for (int c = 0; c < 3; ++c)
+          pos[T * 9 + v * 3 + c] = (float)(rec[c] * scale);
+        double nx = rec[3], ny = rec[4], nz = rec[5];
+        double len = std::sqrt(nx * nx + ny * ny + nz * nz);
+        if (len == 0.0) len = 1.0;
+        nrm[T * 9 + v * 3 + 0] = (float)(nx / len);
+        nrm[T * 9 + v * 3 + 1] = (float)(ny / len);
+        nrm[T * 9 + v * 3 + 2] = (float)(nz / len);
+        for (int c = 0; c < 3; ++c) {
+          double cc = rec[6 + c];
+          if (!linear)
+            cc = std::pow(std::fabs(cc), gamma) * (cc < 0 ? -1.0 : 1.0);
+          col[T * 9 + v * 3 + c] = (float)cc;
+        }
+      }
+    }
+    ++T;
+  }
+  return T;
+}
+
+// Minimal OBJ model shared by count/parse passes.
+struct ObjData {
+  std::vector<float> pos;                 // V*3 (float32, like the numpy path)
+  std::vector<float> nrm;                 // N*3
+  std::vector<std::vector<int32_t>> faces;  // per face: (v, vn) pairs
+  std::vector<uint8_t> face_has_n;
+  bool file_has_normals = false;
+};
+
+bool obj_read(const std::string& text, ObjData* o) {
+  size_t p = 0, n = text.size();
+  while (p < n) {
+    size_t eol = text.find('\n', p);
+    if (eol == std::string::npos) eol = n;
+    std::string line = text.substr(p, eol - p);
+    p = eol + 1;
+    size_t b = line.find_first_not_of(" \t\r");
+    if (b == std::string::npos || line[b] == '#') continue;
+    std::vector<std::string> parts;
+    size_t q = b;
+    while (q < line.size()) {
+      while (q < line.size() && std::isspace((unsigned char)line[q])) ++q;
+      if (q >= line.size()) break;
+      size_t e = q;
+      while (e < line.size() && !std::isspace((unsigned char)line[e])) ++e;
+      parts.push_back(line.substr(q, e - q));
+      q = e;
+    }
+    if (parts.empty()) continue;
+    const std::string& kind = parts[0];
+    if (kind == "v") {
+      for (int c = 0; c < 3; ++c)
+        o->pos.push_back(
+            parts.size() > (size_t)c + 1
+                ? (float)std::strtod(parts[c + 1].c_str(), nullptr)
+                : 0.0f);
+    } else if (kind == "vn") {
+      o->file_has_normals = true;
+      for (int c = 0; c < 3; ++c)
+        o->nrm.push_back(
+            parts.size() > (size_t)c + 1
+                ? (float)std::strtod(parts[c + 1].c_str(), nullptr)
+                : 0.0f);
+    } else if (kind == "f") {
+      std::vector<int32_t> idx;
+      bool has_n = false;
+      for (size_t i = 1; i < parts.size(); ++i) {
+        const std::string& tup = parts[i];
+        // v[/vt[/vn]] -- 1-based -> 0-based (obj-support.cpp:186-189)
+        int32_t v = (int32_t)std::strtol(tup.c_str(), nullptr, 10) - 1;
+        int32_t vn = -1;
+        size_t s1 = tup.find('/');
+        if (s1 != std::string::npos) {
+          size_t s2 = tup.find('/', s1 + 1);
+          if (s2 != std::string::npos && s2 + 1 < tup.size())
+            vn = (int32_t)std::strtol(tup.c_str() + s2 + 1, nullptr, 10) - 1;
+        }
+        if (vn >= 0) has_n = true;
+        idx.push_back(v);
+        idx.push_back(vn);
+      }
+      o->faces.push_back(std::move(idx));
+      o->face_has_n.push_back(has_n ? 1 : 0);
+    }
+    // 'o'/'vt'/others: ignored
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Count trisrc triangles. Returns T, -1 on I/O error, -2 on parse error.
+int64_t srt_trisrc_count(const char* path) {
+  std::string text;
+  if (!read_file(path, &text)) return -1;
+  return trisrc_scan(text, 1.0, 2.63, 1, nullptr, nullptr, nullptr);
+}
+
+// Fill pos/nrm/col (each T*9 float32). Returns T or negative error.
+int64_t srt_trisrc_parse(const char* path, double scale, double gamma,
+                         int32_t linear, float* pos, float* nrm, float* col) {
+  std::string text;
+  if (!read_file(path, &text)) return -1;
+  return trisrc_scan(text, scale, gamma, linear, pos, nrm, col);
+}
+
+// Count OBJ triangles after fan triangulation. -1 on I/O error.
+int64_t srt_obj_count(const char* path) {
+  std::string text;
+  if (!read_file(path, &text)) return -1;
+  ObjData o;
+  obj_read(text, &o);
+  int64_t T = 0;
+  for (const auto& f : o.faces) {
+    int64_t verts = (int64_t)f.size() / 2;
+    if (verts >= 3) T += verts - 2;
+  }
+  return T;
+}
+
+// Fill pos/nrm (each T*9 float32; colors are always white,
+// obj-support.cpp:344). Returns T or negative error.
+int64_t srt_obj_parse(const char* path, float* pos, float* nrm) {
+  std::string text;
+  if (!read_file(path, &text)) return -1;
+  ObjData o;
+  obj_read(text, &o);
+  const int64_t V = (int64_t)o.pos.size() / 3;
+
+  // area-weighted vertex normals when the file has none
+  // (obj-support.cpp:104-146), float32 accumulation like the numpy path
+  std::vector<float> acc;
+  if (!o.file_has_normals) {
+    acc.assign(o.pos.size(), 0.0f);
+    for (const auto& f : o.faces) {
+      int64_t verts = (int64_t)f.size() / 2;
+      if (verts < 3) continue;
+      int32_t v0 = f[0];
+      for (int64_t t = 0; t < verts - 2; ++t) {
+        int32_t v1 = f[(t + 1) * 2], v2 = f[(t + 2) * 2];
+        if (v0 < 0 || v0 >= V || v1 < 0 || v1 >= V || v2 < 0 || v2 >= V)
+          return -2;
+        float e1[3], e2[3], fn[3];
+        for (int c = 0; c < 3; ++c) {
+          e1[c] = o.pos[v1 * 3 + c] - o.pos[v0 * 3 + c];
+          e2[c] = o.pos[v2 * 3 + c] - o.pos[v0 * 3 + c];
+        }
+        fn[0] = e1[1] * e2[2] - e1[2] * e2[1];
+        fn[1] = e1[2] * e2[0] - e1[0] * e2[2];
+        fn[2] = e1[0] * e2[1] - e1[1] * e2[0];
+        for (int c = 0; c < 3; ++c) {
+          acc[v0 * 3 + c] += fn[c];
+          acc[v1 * 3 + c] += fn[c];
+          acc[v2 * 3 + c] += fn[c];
+        }
+      }
+    }
+    for (int64_t v = 0; v < V; ++v) {
+      float len = std::sqrt(acc[v * 3] * acc[v * 3] +
+                            acc[v * 3 + 1] * acc[v * 3 + 1] +
+                            acc[v * 3 + 2] * acc[v * 3 + 2]);
+      if (len == 0.0f) len = 1.0f;
+      for (int c = 0; c < 3; ++c) acc[v * 3 + c] /= len;
+    }
+  }
+
+  const int64_t NN = (int64_t)o.nrm.size() / 3;
+  int64_t T = 0;
+  for (size_t fi = 0; fi < o.faces.size(); ++fi) {
+    const auto& f = o.faces[fi];
+    int64_t verts = (int64_t)f.size() / 2;
+    if (verts < 3) continue;
+    int32_t v0 = f[0], n0 = f[1];
+    for (int64_t t = 0; t < verts - 2; ++t) {
+      int32_t v1 = f[(t + 1) * 2], n1 = f[(t + 1) * 2 + 1];
+      int32_t v2 = f[(t + 2) * 2], n2 = f[(t + 2) * 2 + 1];
+      const int32_t vs[3] = {v0, v1, v2};
+      const int32_t ns[3] = {n0, n1, n2};
+      for (int j = 0; j < 3; ++j) {
+        if (vs[j] < 0 || vs[j] >= V) return -2;
+        for (int c = 0; c < 3; ++c)
+          pos[T * 9 + j * 3 + c] = o.pos[vs[j] * 3 + c];
+        if (o.file_has_normals && o.face_has_n[fi]) {
+          if (ns[j] < 0 || ns[j] >= NN) return -2;
+          for (int c = 0; c < 3; ++c)
+            nrm[T * 9 + j * 3 + c] = o.nrm[ns[j] * 3 + c];
+        } else if (!o.file_has_normals) {
+          for (int c = 0; c < 3; ++c)
+            nrm[T * 9 + j * 3 + c] = acc[vs[j] * 3 + c];
+        } else {
+          // file has normals but this face lacks them: zero normal
+          for (int c = 0; c < 3; ++c) nrm[T * 9 + j * 3 + c] = 0.0f;
+        }
+      }
+      ++T;
+    }
+  }
+  return T;
+}
+
+}  // extern "C"

@@ -19,6 +19,21 @@ from shader_ray_tpu.models.triangle_set import TriangleSet
 
 
 def parse_obj(path: str) -> TriangleSet:
+    from shader_ray_tpu.config import get_config
+
+    cfg = get_config()
+    if cfg.use_native != "never":
+        from shader_ray_tpu import native
+
+        parsed = native.parse_obj_file(path)
+        if parsed is not None:
+            pos, nrm = parsed
+            if pos.shape[0] == 0:
+                return TriangleSet().finish()
+            # colors forced white, reference obj-support.cpp:344
+            return TriangleSet.from_arrays(pos, nrm, np.ones_like(pos))
+        if cfg.use_native == "require":
+            raise RuntimeError("Config.use_native=require but libscene unavailable")
     with open(path, "r") as f:
         return parse_obj_text(f.read())
 

@@ -33,6 +33,19 @@ _QUOTED = re.compile(r'"([^"]*)"')
 
 def parse_trisrc(path: str, config: Config | None = None) -> TriangleSet:
     cfg = config or get_config()
+    if cfg.use_native != "never":
+        from shader_ray_tpu import native
+
+        parsed = native.parse_trisrc_file(
+            path, cfg.geometry_scale, cfg.screen_gamma, cfg.colors_are_linear
+        )
+        if parsed is not None:
+            pos, nrm, col = parsed
+            if pos.shape[0] == 0:
+                return TriangleSet().finish()
+            return TriangleSet.from_arrays(pos, nrm, col)
+        if cfg.use_native == "require":
+            raise RuntimeError("Config.use_native=require but libscene unavailable")
     with open(path, "r") as f:
         text = f.read()
     return parse_trisrc_text(text, cfg)

@@ -84,6 +84,19 @@ def _load() -> ctypes.CDLL | None:
         lib.srt_bvh_leaf_count.argtypes = [ctypes.c_void_p]
         lib.srt_bvh_free.restype = None
         lib.srt_bvh_free.argtypes = [ctypes.c_void_p]
+
+        i64 = ctypes.c_int64
+        lib.srt_trisrc_count.restype = i64
+        lib.srt_trisrc_count.argtypes = [ctypes.c_char_p]
+        lib.srt_trisrc_parse.restype = i64
+        lib.srt_trisrc_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_double, ctypes.c_double, i32,
+            f32p, f32p, f32p,
+        ]
+        lib.srt_obj_count.restype = i64
+        lib.srt_obj_count.argtypes = [ctypes.c_char_p]
+        lib.srt_obj_parse.restype = i64
+        lib.srt_obj_parse.argtypes = [ctypes.c_char_p, f32p, f32p]
         _lib = lib
         return _lib
 
@@ -151,3 +164,53 @@ def build_flat_bvh(
         children=children, axis=axis, hitmiss=hitmiss, root=int(root.value),
     )
     return flat, order, int(leaf_count)
+
+
+def parse_trisrc_file(
+    path: str, geometry_scale: float, screen_gamma: float,
+    colors_are_linear: bool,
+):
+    """Native trisrc parser (reference trisrc-support.cpp:43-104).
+    Returns (pos, nrm, col) each (T, 3, 3) f32, or None if the native
+    library is unavailable.  Raises ValueError on malformed input (the
+    Python parser's contract)."""
+    lib = _load()
+    if lib is None:
+        return None
+    bpath = os.fsencode(path)
+    T = lib.srt_trisrc_count(bpath)
+    if T == -1:
+        raise FileNotFoundError(path)
+    if T < 0:
+        raise ValueError(f"malformed trisrc file: {path}")
+    pos = np.empty((T, 9), np.float32)
+    nrm = np.empty((T, 9), np.float32)
+    col = np.empty((T, 9), np.float32)
+    rc = lib.srt_trisrc_parse(
+        bpath, float(geometry_scale), float(screen_gamma),
+        1 if colors_are_linear else 0, pos.reshape(-1), nrm.reshape(-1),
+        col.reshape(-1),
+    )
+    if rc != T:
+        raise ValueError(f"malformed trisrc file: {path}")
+    return pos.reshape(T, 3, 3), nrm.reshape(T, 3, 3), col.reshape(T, 3, 3)
+
+
+def parse_obj_file(path: str):
+    """Native OBJ parser (reference obj-support.cpp:226-350).  Returns
+    (pos, nrm) each (T, 3, 3) f32, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    bpath = os.fsencode(path)
+    T = lib.srt_obj_count(bpath)
+    if T == -1:
+        raise FileNotFoundError(path)
+    if T < 0:
+        raise ValueError(f"malformed OBJ file: {path}")
+    pos = np.empty((T, 9), np.float32)
+    nrm = np.empty((T, 9), np.float32)
+    rc = lib.srt_obj_parse(bpath, pos.reshape(-1), nrm.reshape(-1))
+    if rc != T:
+        raise ValueError(f"malformed OBJ file: {path}")
+    return pos.reshape(T, 3, 3), nrm.reshape(T, 3, 3)

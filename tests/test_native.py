@@ -83,3 +83,83 @@ def test_native_matches_numpy_bunny_class():
 def test_native_empty_scene():
     ts = TriangleSet.from_arrays(np.zeros((0, 3, 3), np.float32))
     _compare(ts, Config())
+
+
+# --- native loaders (C4/C5 in C++, reference trisrc-support/obj-support) ---
+
+
+def _write_obj(path, with_normals):
+    lines = ["o thing"]
+    verts = [(-0.5, -0.5, 0), (0.5, -0.5, 0), (0.5, 0.5, 0.2), (-0.5, 0.5, 0.2),
+             (0.0, 0.0, 1.0)]
+    for v in verts:
+        lines.append(f"v {v[0]} {v[1]} {v[2]}")
+    if with_normals:
+        for v in verts:
+            lines.append("vn 0 0 1")
+        lines.append("f 1//1 2//2 3//3 4//4")  # quad -> fan
+        lines.append("f 1//1 2//2 5//5")
+    else:
+        lines.append("f 1 2 3 4")
+        lines.append("f 1 2 5")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.mark.skipif(not native.available(), reason="libscene unavailable")
+@pytest.mark.parametrize("with_normals", [True, False])
+def test_native_obj_parser_matches_python(tmp_path, with_normals):
+    from shader_ray_tpu.config import Config, set_config
+    from shader_ray_tpu.models.obj import parse_obj, parse_obj_text
+
+    path = str(tmp_path / "t.obj")
+    _write_obj(path, with_normals)
+    got = parse_obj(path)  # native path (use_native=auto)
+    with open(path) as f:
+        ref = parse_obj_text(f.read())
+    assert got.triangle_count == ref.triangle_count == 3
+    gp = got.positions[got.indices]
+    rp = ref.positions[ref.indices]
+    np.testing.assert_allclose(gp, rp, atol=0)
+    gn = got.normals[got.indices]
+    rn = ref.normals[ref.indices]
+    np.testing.assert_allclose(gn, rn, atol=1e-6)
+
+
+@pytest.mark.skipif(not native.available(), reason="libscene unavailable")
+def test_native_trisrc_parser_matches_python(tmp_path, rng):
+    from shader_ray_tpu.models.trisrc import (
+        parse_trisrc,
+        parse_trisrc_text,
+        write_trisrc,
+    )
+
+    pos = rng.normal(size=(17, 3, 3)).astype(np.float32)
+    col = rng.uniform(0.1, 1.0, size=(17, 3, 3)).astype(np.float32)
+    path = str(tmp_path / "t.trisrc")
+    write_trisrc(path, pos, tri_color=col)
+
+    got = parse_trisrc(path)  # native
+    with open(path) as f:
+        ref = parse_trisrc_text(f.read())
+    assert got.triangle_count == ref.triangle_count == 17
+    np.testing.assert_allclose(
+        got.positions[got.indices], ref.positions[ref.indices], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        got.normals[got.indices], ref.normals[ref.indices], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        got.colors[got.indices], ref.colors[ref.indices], rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.skipif(not native.available(), reason="libscene unavailable")
+def test_native_trisrc_rejects_garbage(tmp_path):
+    from shader_ray_tpu.models.trisrc import parse_trisrc
+
+    path = str(tmp_path / "bad.trisrc")
+    with open(path, "w") as f:
+        f.write('"*" default 1 1 1 1 10\n1 2 3\n')  # truncated vertex block
+    with pytest.raises(ValueError):
+        parse_trisrc(path)
