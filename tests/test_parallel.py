@@ -64,3 +64,29 @@ def test_nondivisible_ray_count(sphere_scene):
     mesh = make_mesh(8)
     fn = make_sharded_render_fn(replicate_scene(sphere_scene, mesh), statics, mesh)
     np.testing.assert_array_equal(np.asarray(fn(params)), baseline)
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4])
+def test_packet_shard_count_invariance(n_dev):
+    """The PRODUCTION (wide packet) engine must render the same frame
+    on 1 device and sharded over N (VERDICT r1 next #3)."""
+    from shader_ray_tpu.ops.engine_pallas import make_packet_render_fn
+    from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+
+    pos, _ = uv_sphere(lat=8, lon=12)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    packed = pack_scene_wide(data, procedural_sky(64))
+    statics = RenderStatics(width=32, height=32, tile_size=256)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0.0, 0.0, 3.0).astype(np.float32)
+        )
+    )
+    base_fn = make_packet_render_fn(packed, statics, tile=1024, interpret=True)
+    baseline = np.asarray(base_fn(params))
+
+    mesh = make_mesh(n_dev)
+    fn = make_packet_render_fn(
+        packed, statics, tile=1024, interpret=True, mesh=mesh
+    )
+    np.testing.assert_array_equal(np.asarray(fn(params)), baseline)
