@@ -102,8 +102,9 @@ def main() -> None:
     )
 
     fn = renderer.make_fn(statics)
-    # device-side checksum: fences the frame without fetching it
-    fsum = jax.jit(lambda p: jnp.sum(fn(p)))
+    # device-side checksum: fences the frame without fetching it (the
+    # scene threads through as a jit argument — see make_checksum_fn)
+    fsum = renderer.make_checksum_fn(statics)
 
     t0 = time.perf_counter()
     img = np.asarray(fn(params))  # compile + first frame + full fetch

@@ -503,16 +503,22 @@ bool obj_read(const std::string& text, ObjData* o) {
     } else if (kind == "f") {
       std::vector<int32_t> idx;
       bool has_n = false;
+      const int32_t nv = (int32_t)(o->pos.size() / 3);
+      const int32_t nn = (int32_t)(o->nrm.size() / 3);
       for (size_t i = 1; i < parts.size(); ++i) {
         const std::string& tup = parts[i];
-        // v[/vt[/vn]] -- 1-based -> 0-based (obj-support.cpp:186-189)
-        int32_t v = (int32_t)std::strtol(tup.c_str(), nullptr, 10) - 1;
+        // v[/vt[/vn]] -- 1-based -> 0-based; negative indices are
+        // relative to the elements defined so far (OBJ spec)
+        int32_t v = (int32_t)std::strtol(tup.c_str(), nullptr, 10);
+        v = (v < 0) ? nv + v : v - 1;
         int32_t vn = -1;
         size_t s1 = tup.find('/');
         if (s1 != std::string::npos) {
           size_t s2 = tup.find('/', s1 + 1);
-          if (s2 != std::string::npos && s2 + 1 < tup.size())
-            vn = (int32_t)std::strtol(tup.c_str() + s2 + 1, nullptr, 10) - 1;
+          if (s2 != std::string::npos && s2 + 1 < tup.size()) {
+            vn = (int32_t)std::strtol(tup.c_str() + s2 + 1, nullptr, 10);
+            vn = (vn < 0) ? nn + vn : vn - 1;
+          }
         }
         if (vn >= 0) has_n = true;
         idx.push_back(v);

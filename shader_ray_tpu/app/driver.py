@@ -211,17 +211,20 @@ class App:
     def benchmark(self, frame_count: int = 100, file=sys.stdout) -> list[float]:
         """Render ``frame_count`` frames, print the reference's
         10-bucket duration histogram plus Mrays/s."""
-        import jax
-        import jax.numpy as jnp
-
-        fn = self._render_fn()
         params = self.frame_params()
         # fence each frame on a device-side checksum (scalar D2H): on
         # the axon runtime block_until_ready returns before execution
         # completes, and fetching whole frames would time the ~25 MB/s
         # tunnel instead of the chip.  The reference benchmark loop
         # also never reads frames back (ray.cpp:1104-1113).
-        fsum = jax.jit(lambda p: jnp.sum(fn(p)))
+        if hasattr(self.renderer, "make_checksum_fn"):
+            fsum = self.renderer.make_checksum_fn(self._statics())
+        else:
+            import jax
+            import jax.numpy as jnp
+
+            fn = self._render_fn()
+            fsum = jax.jit(lambda p: jnp.sum(fn(p)))
         np.asarray(fsum(params))
         durations = []
         for _ in range(frame_count):

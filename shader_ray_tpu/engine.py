@@ -115,6 +115,43 @@ class Renderer:
 
         return make_render_fn(self.scene, statics)
 
+    def make_checksum_fn(self, statics: RenderStatics):
+        """Jitted ``fn(params) -> scalar frame checksum`` — the honest
+        benchmark fence on the axon runtime (block_until_ready lies and
+        full-frame D2H times the tunnel).  The scene is threaded as a
+        jit ARGUMENT (re-jitting over make_fn's wrapper would capture
+        the device arrays as closure constants feeding a pallas_call —
+        the documented axon compile-stall pattern)."""
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        if self.engine == "packet":
+            from shader_ray_tpu.ops.engine_pallas import render_frame_packet
+
+            interpret = jax.default_backend() != "tpu"
+
+            @functools.partial(jax.jit, static_argnames=("statics_",))
+            def _fn(packed_, params, statics_):
+                return jnp.sum(render_frame_packet(
+                    packed_, params, statics_,
+                    tile=self.cfg.ray_tile, interpret=interpret,
+                    interleave=self.cfg.packet_interleave,
+                    max_steps=self.cfg.packet_max_steps or None,
+                    mesh=self.mesh,
+                ))
+
+            return lambda params: _fn(self.packed, params, statics)
+
+        from shader_ray_tpu.ops.render import render_frame
+
+        @functools.partial(jax.jit, static_argnames=("statics_",))
+        def _fn(scene_, params, statics_):
+            return jnp.sum(render_frame(scene_, params, statics_))
+
+        return lambda params: _fn(self.scene, params, statics)
+
     def make_progressive_fn(
         self, statics: RenderStatics, samples: int, reduce_sum: bool = False
     ):

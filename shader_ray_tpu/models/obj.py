@@ -62,11 +62,23 @@ def parse_obj_text(text: str) -> TriangleSet:
         elif kind == "f":
             idxs = []
             has_n = False
+
+            def resolve(raw: int, count: int) -> int:
+                # negative indices are relative to the elements defined
+                # so far (OBJ spec); positive are 1-based
+                return count + raw if raw < 0 else raw - 1
+
             for tup in data:
                 elems = tup.split("/")
-                v = int(elems[0]) - 1
-                vt = int(elems[1]) - 1 if len(elems) > 1 and elems[1] else -1
-                vn = int(elems[2]) - 1 if len(elems) > 2 and elems[2] else -1
+                v = resolve(int(elems[0]), len(positions))
+                vt = (
+                    resolve(int(elems[1]), len(texcoords))
+                    if len(elems) > 1 and elems[1] else -1
+                )
+                vn = (
+                    resolve(int(elems[2]), len(normals))
+                    if len(elems) > 2 and elems[2] else -1
+                )
                 if vn >= 0:
                     has_n = True
                 idxs.append((v, vt, vn))

@@ -248,10 +248,16 @@ def _make_trace(packed, params, statics, tile, interpret, interleave,
         R = rays_.P.shape[0]
         pad = (-R) % n_dev
         if pad:
-            rays_ = Rays(*[
-                jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
-                for x in rays_
-            ])
+            # pad directions with unit z (zero D gives inf/NaN slab and
+            # env math in the padded lanes, tripping SRT_DEBUG_NANS)
+            unit_z = jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0], jnp.float32), (pad, 3)
+            )
+            fields = []
+            for name, x in zip(rays_._fields, rays_):
+                fill = unit_z if name == "D" else jnp.zeros((pad, 3), x.dtype)
+                fields.append(jnp.concatenate([x, fill], axis=0))
+            rays_ = Rays(*fields)
         color = sharded(packed, params, rays_)
         return color[:R]
 
@@ -276,9 +282,14 @@ def render_frame_packet(
         rays = Rays(*[_swizzle(x, H, W, bh, bw) for x in rays])
     # kernel-lane permutation applied once per frame (folds inside each
     # of the up-to-6 traces then reduce to reshapes); the sharded path
-    # keeps pixel order so shard slicing stays contiguous
+    # keeps pixel order so shard slicing stays contiguous.  Only valid
+    # when the kernels fold with FOLD sublanes (tile multiple of 1024 —
+    # the binary engine folds differently for smaller tiles).
     prefolded = (
-        mesh is None and statics.which not in (3,) and (H * W) % tile == 0
+        mesh is None
+        and statics.which not in (3,)
+        and (H * W) % tile == 0
+        and tile % (FOLD * 128) == 0
     )
     if prefolded:
         rays = Rays(*[_lane_fold_perm(x, tile, FOLD) for x in rays])

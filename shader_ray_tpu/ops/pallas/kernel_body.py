@@ -98,101 +98,6 @@ def leaf_tests(
     return t, which, nx, ny, nz
 
 
-def leaf_tests_vec(
-    leaves_ref, r, lrow, tbase, lcount,
-    gate, t, which, nx, ny, nz, mt_eps,
-):
-    """Slot-PARALLEL Moller-Trumbore: all <= 10 triangles of a leaf on
-    SUBLANES, tested against each folded ray row broadcast across them.
-    Replaces the scalar-extraction variant (leaf_tests), whose 180
-    vector->scalar reductions per leaf visit were the round-1/2 latency
-    bottleneck — here the only cross-lane ops are cheap sublane-axis
-    reduces (min/sum along axis 0), never a scalar sync.
-
-    ``gate``: (F, CW) per-ray accept mask (active & walk-alive).
-    Accepts hits with d in [0, t] — the per-leaf slab clip of the GLSL
-    loop (fs:410-424) is geometrically redundant (the leaf box contains
-    its triangles)."""
-    f32 = jnp.float32
-    i32 = jnp.int32
-    F, CW = t.shape
-    BIGF = 1.0e30
-
-    grp = lrow // LEAVES_PER_GROUP
-    sub = lrow % LEAVES_PER_GROUP
-    base = pl.multiple_of(grp * GROUP_ROWS, GROUP_ROWS)
-    block = leaves_ref[pl.ds(base, GROUP_ROWS), :]
-    rec = jax.lax.switch(
-        sub,
-        [
-            (lambda s=s: block[:, s * LEAF_RECORD : (s + 1) * LEAF_RECORD])
-            for s in range(LEAVES_PER_GROUP)
-        ],
-    )  # (16, 18): slot-major triangle records (rows 10-15 zero padding)
-
-    # per-triangle quantities lane-broadcast ONCE per leaf (cross-lane
-    # broadcasts move data between lanes — hoist them out of the
-    # per-ray-group loop)
-    c = lambda i: jnp.broadcast_to(rec[:, i : i + 1], (GROUP_ROWS, CW))
-    v0x, v0y, v0z = c(0), c(1), c(2)
-    e0x, e0y, e0z = c(3) - v0x, c(4) - v0y, c(5) - v0z   # v1 - v0
-    e1x, e1y, e1z = v0x - c(6), v0y - c(7), v0z - c(8)   # v0 - v2
-    n0x, n0y, n0z = c(9), c(10), c(11)
-    n1x, n1y, n1z = c(12), c(13), c(14)
-    n2x, n2y, n2z = c(15), c(16), c(17)
-
-    slot_iota = jax.lax.broadcasted_iota(i32, (GROUP_ROWS, CW), 0)
-    valid_slot = slot_iota < lcount
-    row_iota = jax.lax.broadcasted_iota(i32, (F, CW), 0)
-    gatef = gate.astype(f32)
-
-    for g in range(F):
-        gb = lambda x: jnp.broadcast_to(x[g : g + 1, :], (GROUP_ROWS, CW))
-        Px, Py, Pz = gb(r["Px"]), gb(r["Py"]), gb(r["Pz"])
-        Dx, Dy, Dz = gb(r["Dx"]), gb(r["Dy"]), gb(r["Dz"])
-        # M = cross(e1, D)  (fs:305)
-        Mx = e1y * Dz - e1z * Dy
-        My = e1z * Dx - e1x * Dz
-        Mz = e1x * Dy - e1y * Dx
-        det = e0x * Mx + e0y * My + e0z * Mz
-        ok = jnp.abs(det) >= mt_eps
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-        Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
-        Qx = Ty * e0z - Tz * e0y
-        Qy = Tz * e0x - Tx * e0z
-        Qz = Tx * e0y - Ty * e0x
-        d = -(e1x * Qx + e1y * Qy + e1z * Qz) * inv_det
-        ok = ok & (d <= gb(t)) & (d >= 0.0)
-        u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
-        ok = ok & (u >= 0.0) & (u <= 1.0)
-        v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
-        ok = ok & (v >= 0.0) & (u + v <= 1.0)
-        ok = ok & valid_slot & (gb(gatef) > 0.0)
-
-        dm = jnp.where(ok, d, BIGF)
-        dmin = jnp.min(dm, axis=0, keepdims=True)            # (1, CW)
-        take = dmin < BIGF                                    # (1, CW)
-        win = ok & (dm == jnp.broadcast_to(dmin, (GROUP_ROWS, CW)))
-        kwin = jnp.min(
-            jnp.where(win, slot_iota, GROUP_ROWS), axis=0, keepdims=True
-        )
-        sel = slot_iota == jnp.broadcast_to(kwin, (GROUP_ROWS, CW))
-        pick = lambda x: jnp.sum(jnp.where(sel & win, x, 0.0), axis=0, keepdims=True)
-        w0 = 1.0 - u - v
-        nxw = pick(n0x * w0 + n1x * u + n2x * v)
-        nyw = pick(n0y * w0 + n1y * u + n2y * v)
-        nzw = pick(n0z * w0 + n1z * u + n2z * v)
-
-        rowsel = (row_iota == g) & jnp.broadcast_to(take, (F, CW))
-        fb = lambda x: jnp.broadcast_to(x, (F, CW))
-        t = jnp.where(rowsel, fb(dmin), t)
-        which = jnp.where(rowsel, tbase + fb(kwin), which)
-        nx = jnp.where(rowsel, fb(nxw), nx)
-        ny = jnp.where(rowsel, fb(nyw), ny)
-        nz = jnp.where(rowsel, fb(nzw), nz)
-    return t, which, nx, ny, nz
-
-
 def make_walk_rays(P_ref, D_ref, act_ref, fold, walks, lane_chunk):
     """Per-walk ray register blocks + majority octant (shared by the
     binary and wide packet kernels)."""

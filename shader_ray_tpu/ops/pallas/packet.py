@@ -126,7 +126,11 @@ def packet_trace(
     Pt = prep(P)
     Dt = prep(D)
     if active is None:
-        actv = jnp.ones((Rp,), jnp.float32)
+        # padded lanes must be inactive (their zero-direction rays
+        # produce inf/NaN slab math if treated as live)
+        actv = jnp.concatenate(
+            [jnp.ones((R,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        ) if pad else jnp.ones((Rp,), jnp.float32)
     else:
         actv = jnp.asarray(active).astype(jnp.float32).reshape(R)
         if pad:

@@ -73,7 +73,11 @@ def packet_trace_wide(
     Pt = prep(P)
     Dt = prep(D)
     if active is None:
-        actv = jnp.ones((Rp,), jnp.float32)
+        # padded lanes must be inactive (their zero-direction rays
+        # produce inf/NaN slab math if treated as live)
+        actv = jnp.concatenate(
+            [jnp.ones((R,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        ) if pad else jnp.ones((Rp,), jnp.float32)
     else:
         actv = jnp.asarray(active).astype(jnp.float32).reshape(R)
         if pad:
@@ -87,6 +91,13 @@ def packet_trace_wide(
     walks = max(1, min(interleave, C // 128))
     while C % walks:
         walks -= 1
+    CW = C // walks
+    # the kernel's OR-tree reduction halves lanes; non-pow2 widths
+    # would silently drop rays' hit bits
+    assert CW & (CW - 1) == 0, (
+        f"tile/walks must give a power-of-two lane width (got {CW}); "
+        "use a power-of-two multiple of 1024 for tile"
+    )
     kernel = functools.partial(
         wide_kernel,
         n_wide=scene.n_wide,

@@ -46,10 +46,12 @@ def save_scene_data(key: str, data: SceneData) -> str:
         tree_root=np.int32(data.tree_root),
         triangle_count=np.int32(data.triangle_count),
         group_count=np.int32(data.group_count),
+        # when absent, save an empty marker (a full -1 placeholder would
+        # defeat pack_scene_wide's "rebuild your cache" assert on load)
         node_children=(
             data.node_children
             if data.node_children is not None
-            else np.full((data.group_count, 2), -1, np.int32)
+            else np.zeros((0, 2), np.int32)
         ),
     )
     os.replace(tmp, path)
@@ -72,7 +74,11 @@ def load_scene_data(key: str) -> SceneData | None:
             tree_root=int(z["tree_root"]),
             triangle_count=int(z["triangle_count"]),
             group_count=int(z["group_count"]),
-            node_children=z["node_children"] if "node_children" in z else None,
+            node_children=(
+                z["node_children"]
+                if "node_children" in z and z["node_children"].size
+                else None
+            ),
         )
     except Exception:
         return None

@@ -163,3 +163,20 @@ def test_native_trisrc_rejects_garbage(tmp_path):
         f.write('"*" default 1 1 1 1 10\n1 2 3\n')  # truncated vertex block
     with pytest.raises(ValueError):
         parse_trisrc(path)
+
+
+@pytest.mark.skipif(not native.available(), reason="libscene unavailable")
+def test_obj_negative_indices(tmp_path):
+    """OBJ negative indices are relative to elements defined so far;
+    both parsers must resolve f -3 -2 -1 to the last three vertices."""
+    from shader_ray_tpu.models.obj import parse_obj, parse_obj_text
+
+    text = "v 9 9 9\nv 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n"
+    path = str(tmp_path / "neg.obj")
+    with open(path, "w") as f:
+        f.write(text)
+    got = parse_obj(path)          # native
+    ref = parse_obj_text(text)     # python
+    expect = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    np.testing.assert_array_equal(ref.positions[ref.indices][0], expect)
+    np.testing.assert_array_equal(got.positions[got.indices][0], expect)
