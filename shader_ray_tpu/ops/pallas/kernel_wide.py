@@ -106,6 +106,7 @@ def wide_kernel(
     order_ref,
     masks_ref,
     tribase_ref,
+    nodes_ref,
     P_ref,
     D_ref,
     act_ref,
@@ -126,6 +127,7 @@ def wide_kernel(
     with_stats: bool = False,
     leaf_mode: str = "dma",  # "dma" | "scalar" | "skip" (walk-cost probe)
     leaf_slots: int = 10,    # static slot-unroll bound (scene max count)
+    node_src: str = "smem",  # "smem" tables | "vmem" rows DMA'd per step
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -135,9 +137,11 @@ def wide_kernel(
     CW = C // W
     SD = stack_depth
     if with_stats:
-        stats_ref, stack_ref, leafbuf_ref, sems_ref = stats_and_scratch
+        (stats_ref, stack_ref, leafbuf_ref, sems_ref,
+         nodebuf_ref, nsems_ref) = stats_and_scratch
     else:
-        stack_ref, leafbuf_ref, sems_ref = stats_and_scratch
+        (stack_ref, leafbuf_ref, sems_ref,
+         nodebuf_ref, nsems_ref) = stats_and_scratch
 
     rays = make_walk_rays(P_ref, D_ref, act_ref, F, W, CW)
     ox, oy, oz, sx, sy, sz = box_quant
@@ -171,8 +175,27 @@ def wide_kernel(
         g = stack_ref[w * SD + spc]
         g = jnp.clip(g, 0, n_wide - 1)  # dead-walk fake-step safety
 
-        orderw = order_ref[g * WIDE + r["octant"]]
-        masks = masks_ref[g]
+        if node_src == "vmem":
+            # large-scene tier: the node's 128-lane row lives in VMEM;
+            # DMA its 8-node group into SMEM scratch, then read scalars
+            base = pl.multiple_of((g // 8) * 8, 8)
+            ndma = pltpu.make_async_copy(
+                nodes_ref.at[pl.ds(base, 8), :],
+                nodebuf_ref.at[pl.ds(w * 8, 8), :],
+                nsems_ref.at[w],
+            )
+            ndma.start()
+            ndma.wait()
+            nrow = w * 8 + (g % 8)
+            box_rd = lambda ck, ax: nodebuf_ref[nrow, ck * 3 + ax]
+            cmeta_rd = lambda ck: nodebuf_ref[nrow, 24 + ck]
+            orderw = nodebuf_ref[nrow, 32 + r["octant"]]
+            masks = nodebuf_ref[nrow, 40]
+        else:
+            box_rd = lambda ck, ax: boxes_ref[(g * WIDE + ck) * 3 + ax]
+            cmeta_rd = lambda ck: cmeta_ref[g * WIDE + ck]
+            orderw = order_ref[g * WIDE + r["octant"]]
+            masks = masks_ref[g]
         validm = masks & 0xFF
         leafm = (masks >> 8) & 0xFF
 
@@ -185,9 +208,9 @@ def wide_kernel(
             ck = (orderw >> (3 * p)) & 7
             cks.append(ck)
             leaf_perm = leaf_perm | (((leafm >> ck) & 1) << p)
-            b0 = boxes_ref[(g * WIDE + ck) * 3 + 0]
-            b1 = boxes_ref[(g * WIDE + ck) * 3 + 1]
-            b2 = boxes_ref[(g * WIDE + ck) * 3 + 2]
+            b0 = box_rd(ck, 0)
+            b1 = box_rd(ck, 1)
+            b2 = box_rd(ck, 2)
             qnx = ((b0 >> 16) & 0xFFFF).astype(f32)
             qxx = (b0 & 0xFFFF).astype(f32)
             qny = ((b1 >> 16) & 0xFFFF).astype(f32)
@@ -232,7 +255,7 @@ def wide_kernel(
                 p = p + jnp.where(((lb >> p) & 0x3) != 0, 0, 2)
                 p = p + jnp.where(((lb >> p) & 0x1) != 0, 0, 1)
                 ck = (orderw >> (3 * p)) & 7
-                meta = cmeta_ref[g * WIDE + ck]
+                meta = cmeta_rd(ck)
                 cnt = (meta >> 26) & 0x1F
                 lrow = meta & 0x3FFFFFF
                 tb = tribase_ref[lrow]
@@ -272,7 +295,7 @@ def wide_kernel(
         sp2 = spc
         for p in range(WIDE - 1, -1, -1):
             do_push = ((pushbits >> p) & 1) > 0
-            meta_p = cmeta_ref[g * WIDE + cks[p]]
+            meta_p = cmeta_rd(cks[p])
 
             @pl.when(do_push)
             def _(sp2=sp2, meta_p=meta_p):

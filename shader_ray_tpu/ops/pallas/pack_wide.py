@@ -60,16 +60,21 @@ class PackedSceneWide:
     operands threaded as traced arguments)."""
 
     def __init__(self, leaves, boxes_smem, cmeta_smem, order_smem,
-                 masks_smem, tribase_smem, env, env_atlas,
+                 masks_smem, tribase_smem, nodes_vmem, env, env_atlas,
                  n_wide: int, leaf_count: int, tri_count: int,
                  node_count: int, stack_depth: int, box_quant: tuple,
-                 env_atlas_base: tuple = (512, 1024), max_count: int = 10):
+                 env_atlas_base: tuple = (512, 1024), max_count: int = 10,
+                 node_src: str = "smem"):
         self.leaves = leaves              # (groups*16, 126) f32 VMEM
         self.boxes_smem = boxes_smem      # ((Nw*8)*3,) i32
         self.cmeta_smem = cmeta_smem      # (Nw*8,) i32
         self.order_smem = order_smem      # (Nw*8,) i32
         self.masks_smem = masks_smem      # (Nw,) i32
         self.tribase_smem = tribase_smem  # (L,) i32
+        # large-scene tier: one 128-lane i32 row per node in VMEM
+        # (lanes 0-23 boxes, 24-31 cmeta, 32-39 order, 40 masks),
+        # DMA'd to SMEM scratch per step; dummy (8, 128) when unused
+        self.nodes_vmem = nodes_vmem
         self.env = env                    # (He, We, 3) f32
         self.env_atlas = env_atlas        # (2*H0-1, W0*3) f32 mip atlas
         self.env_atlas_base = tuple(int(x) for x in env_atlas_base)
@@ -83,14 +88,15 @@ class PackedSceneWide:
         # largest actual leaf count: the kernel's static slot-unroll
         # bound (smaller BVH_LEAF_MAX -> shorter leaf tests)
         self.max_count = int(max_count)
+        self.node_src = str(node_src)  # "smem" | "vmem"
 
     def tree_flatten(self):
         leaves = (self.leaves, self.boxes_smem, self.cmeta_smem,
                   self.order_smem, self.masks_smem, self.tribase_smem,
-                  self.env, self.env_atlas)
+                  self.nodes_vmem, self.env, self.env_atlas)
         aux = (self.n_wide, self.leaf_count, self.tri_count,
                self.node_count, self.stack_depth, self.box_quant,
-               self.env_atlas_base, self.max_count)
+               self.env_atlas_base, self.max_count, self.node_src)
         return leaves, aux
 
     @classmethod
@@ -166,8 +172,16 @@ def pack_scene_wide(
     max_leaf_tests: int = LEAF_SLOTS,
     env_size: tuple[int, int] = (256, 512),
     env_atlas_base: tuple[int, int] = (512, 1024),
+    node_src: str | None = None,
 ) -> PackedSceneWide:
-    """Build wide packet tables from flattened SceneData (host)."""
+    """Build wide packet tables from flattened SceneData (host).
+
+    ``node_src``: "smem" keeps the per-node tables in scalar memory
+    (fastest; fits ~5-6k wide nodes ~= 300k triangles in the 1 MB SMEM
+    budget), "vmem" packs them one 128-lane row per node in VMEM and
+    the kernel DMAs 8-node groups to SMEM scratch per step (slightly
+    slower steps, scene size bounded by VMEM instead).  None picks
+    automatically by the SMEM estimate."""
     leaves, tribase, leaf_row_of, counts, L = pack_leaf_groups(
         data, max_leaf_tests
     )
@@ -229,16 +243,41 @@ def pack_scene_wide(
     He, We = env_size
     env_small = _resize_env(np.asarray(env, np.float32), He, We)
 
+    if node_src is None:
+        # SMEM budget is 1.00 MB; leave headroom for tribase + stacks
+        smem_bytes = 4 * (Nw * (24 + 8 + 8 + 1) + L)
+        node_src = "smem" if smem_bytes < 800_000 else "vmem"
+    assert node_src in ("smem", "vmem"), node_src
+
+    to_u32 = lambda a: a.astype(np.uint32).view(np.int32)
     as_i32 = lambda a: jnp.asarray(
-        np.ascontiguousarray(a.astype(np.uint32).view(np.int32).reshape(-1))
+        np.ascontiguousarray(to_u32(a).reshape(-1))
     )
+    if node_src == "vmem":
+        rows = -(-Nw // 8) * 8
+        nodes = np.zeros((rows, 128), np.int32)
+        nodes[:Nw, 0:24] = to_u32(boxes).reshape(Nw, 24)
+        nodes[:Nw, 24:32] = to_u32(cmeta).reshape(Nw, 8)
+        nodes[:Nw, 32:40] = to_u32(packed_order).reshape(Nw, 8)
+        nodes[:Nw, 40] = to_u32(masks)
+        nodes_vmem = jnp.asarray(nodes)
+        dummy = jnp.zeros((1,), jnp.int32)
+        boxes_j, cmeta_j, order_j, masks_j = dummy, dummy, dummy, dummy
+    else:
+        nodes_vmem = jnp.zeros((8, 128), jnp.int32)
+        boxes_j = as_i32(boxes)
+        cmeta_j = as_i32(cmeta)
+        order_j = as_i32(packed_order)
+        masks_j = as_i32(masks)
+
     return PackedSceneWide(
         leaves=jnp.asarray(leaves),
-        boxes_smem=as_i32(boxes),
-        cmeta_smem=as_i32(cmeta),
-        order_smem=as_i32(packed_order),
-        masks_smem=as_i32(masks),
+        boxes_smem=boxes_j,
+        cmeta_smem=cmeta_j,
+        order_smem=order_j,
+        masks_smem=masks_j,
         tribase_smem=jnp.asarray(tribase),
+        nodes_vmem=nodes_vmem,
         env=jnp.asarray(env_small),
         env_atlas=jnp.asarray(pack_env_atlas(env, env_atlas_base)),
         n_wide=Nw,
@@ -249,4 +288,5 @@ def pack_scene_wide(
         box_quant=(off[0], off[1], off[2], scale[0], scale[1], scale[2]),
         env_atlas_base=env_atlas_base,
         max_count=int(max(1, counts.max())) if counts.size else 1,
+        node_src=node_src,
     )

@@ -112,6 +112,7 @@ def packet_trace_wide(
         with_stats=with_stats,
         leaf_mode=leaf_mode,
         leaf_slots=scene.max_count,
+        node_src=scene.node_src,
     )
 
     full = lambda shape: pl.BlockSpec(
@@ -137,9 +138,9 @@ def packet_trace_wide(
         )
         out_shape.append(jax.ShapeDtypeStruct((8, n_tiles * 128), jnp.int32))
 
-    # the leaf table can overflow the default 16 MB scoped-vmem budget
-    # on large scenes; raise the cap to what it + ray blocks need
-    table_bytes = 4 * 128 * scene.leaves.shape[0]
+    # the leaf/node tables can overflow the default 16 MB scoped-vmem
+    # budget on large scenes; raise the cap to what they + rays need
+    table_bytes = 4 * 128 * (scene.leaves.shape[0] + scene.nodes_vmem.shape[0])
     vmem_limit = min(table_bytes + (8 << 20), 120 << 20)
     outs = pl.pallas_call(
         kernel,
@@ -151,6 +152,7 @@ def packet_trace_wide(
             smem(scene.order_smem.shape),
             smem(scene.masks_smem.shape),
             smem(scene.tribase_smem.shape),
+            full(scene.nodes_vmem.shape),
             rays(3 * fold),
             rays(3 * fold),
             rays(fold),
@@ -161,11 +163,13 @@ def packet_trace_wide(
             pltpu.SMEM((walks * scene.stack_depth,), jnp.int32),
             pltpu.SMEM((walks * 16, scene.leaves.shape[1]), jnp.float32),
             pltpu.SemaphoreType.DMA((walks,)),
+            pltpu.SMEM((walks * 8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((walks,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(scene.leaves, scene.boxes_smem, scene.cmeta_smem, scene.order_smem,
-      scene.masks_smem, scene.tribase_smem, Pt, Dt, actt)
+      scene.masks_smem, scene.tribase_smem, scene.nodes_vmem, Pt, Dt, actt)
     t, which, n, bad = outs[:4]
     stats = outs[4] if with_stats else None
 

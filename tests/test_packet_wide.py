@@ -205,3 +205,18 @@ def test_wide_large_scene_over_32k_nodes(rng):
     )
     np.testing.assert_allclose(got.t, ref.t, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(got.which, ref.which)
+
+
+def test_vmem_node_tier_matches_smem(bumpy, rng):
+    """The large-scene node tier (VMEM rows DMA'd per step) must trace
+    identically to the SMEM-table tier."""
+    data = bumpy
+    env = procedural_sky(64)
+    P, D = _random_rays(rng, 1024)
+    a = pack_scene_wide(data, env, node_src="smem")
+    b = pack_scene_wide(data, env, node_src="vmem")
+    assert b.node_src == "vmem" and b.nodes_vmem.shape[0] >= b.n_wide
+    ga = packet_trace_wide(a, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True)
+    gb = packet_trace_wide(b, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ga.t), np.asarray(gb.t))
+    np.testing.assert_array_equal(np.asarray(ga.which), np.asarray(gb.which))
