@@ -28,7 +28,10 @@ from shader_ray_tpu.ops.envmap import env_coords
 
 
 def _bilinear_mxu(env_flat, rows, W, coords, chunk, dtype):
-    """Chunked two-hot bilinear contraction: env_flat (rows, W*3),
+    """Chunked two-hot bilinear contraction: env_flat (rows, W*3)
+    CHANNEL-MAJOR (lane c*W + x — splitting the matmul output to
+    (R, 3, W) is then layout-free; the texel-major (R, W, 3) split
+    forced a padded-minor-dim materialization costing ~5 ms/frame),
     coords = per-ray (x0, x1, y0, y1, fx, fy) with y in ATLAS rows."""
     x0i, x1i, y0i, y1i, fx, fy = coords
     R = x0i.shape[0]
@@ -46,9 +49,9 @@ def _bilinear_mxu(env_flat, rows, W, coords, chunk, dtype):
             + (col_iota == x1c[:, None]).astype(jnp.float32) * fxc
         )
         t1 = jnp.dot(wrow, env_flat, preferred_element_type=jnp.float32)
-        t1 = t1.reshape(-1, W, 3)
+        t1 = t1.reshape(-1, 3, W)
         return jnp.einsum(
-            "rw,rwc->rc", wcol, t1, preferred_element_type=jnp.float32
+            "rw,rcw->rc", wcol, t1, preferred_element_type=jnp.float32
         )
 
     if R <= chunk:
@@ -91,7 +94,7 @@ def sample_env_mxu(
     y1i = jnp.clip(y0i + 1, 0, H - 1)
 
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    env_flat = env.reshape(H, W * 3).astype(dtype)
+    env_flat = env.transpose(0, 2, 1).reshape(H, 3 * W).astype(dtype)
     return _bilinear_mxu(
         env_flat, H, W, (x0i, x1i, y0i, y1i, fx, fy), chunk, dtype
     )
@@ -134,7 +137,11 @@ def sample_env_mxu_mip(
     frac = (lod - l0.astype(jnp.float32))[..., None]
 
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    atlas_flat = atlas.astype(dtype)
+    # texel-major (x*3+c) -> channel-major (c*W + x) lanes; zero-padded
+    # lanes of the narrower levels stay zero in both layouts
+    atlas_flat = (
+        atlas.reshape(rows, base_w, 3).transpose(0, 2, 1).reshape(rows, 3 * base_w)
+    ).astype(dtype)
 
     def level_coords(l):
         h = jnp.right_shift(base_h, l)

@@ -14,10 +14,10 @@ scalar sync.  Layout choices are driven by measured axon v5e costs
     position p), then ONE sublane/lane OR-tree + ONE scalar extract
     yields the 8-bit hit mask — vs 8 independent reduces;
   * hit leaf children are processed near-to-far by a bit-scan
-    while_loop (zero cost when a step hits no leaves); each leaf visit
-    DMAs its 16x126 leaf group VMEM->SMEM once and reads triangle
-    scalars from SMEM — replacing the 180 vector->scalar extractions
-    per visit that dominated round 1;
+    while_loop (zero cost when a step hits no leaves); the default
+    leaf_mode="scalar" runs slot-parallel Moller-Trumbore with scalar
+    extractions (measured fastest); "dma" copies the 16x128 leaf group
+    VMEM->SMEM and reads triangle scalars from SMEM instead;
   * hit internal children push far-to-near (nearest pops first) via
     predicated SMEM stores.
 
@@ -44,7 +44,6 @@ from shader_ray_tpu.ops.pallas.pack import LEAF_RECORD, LEAF_SLOTS, LEAVES_PER_G
 from shader_ray_tpu.ops.pallas.pack_wide import WIDE
 
 GROUP_ROWS = 16
-LEAF_LANES = LEAVES_PER_GROUP * LEAF_RECORD  # 126
 
 
 def leaf_tests_smem(
