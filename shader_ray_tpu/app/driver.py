@@ -301,8 +301,12 @@ class App:
         elif k in ("s", "S"):
             self.screenshot("color.ppm")
         elif k in ("p", "P"):
-            # reference stub (ray.cpp:846-848)
-            print("XXX - print camera and object matrices here")
+            # the reference left this a stub ("XXX - print camera and
+            # object matrices here", ray.cpp:846-848); we implement it
+            np.set_printoptions(precision=4, suppress=True)
+            print(f"camera_matrix =\n{self.world.camera_matrix}")
+            print(f"object_matrix =\n{self.world.object_matrix}")
+            print(f"light_dir = {self.light_dir}")
         elif k in ("d", "D"):
             self.which_diffuse_color = (
                 self.which_diffuse_color + 1
