@@ -56,6 +56,9 @@ class Config:
     # --- TPU engine knobs (new; no reference analog) ---
     engine: str = "auto"             # "packet" | "wavefront" | "auto"
     packet_kernel: str = "wide"      # "wide" (8-ary short-stack) | "binary"
+    leaf_mode: str = "scalar"        # wide-kernel leaf data path:
+                                     # "scalar" (measured fastest) | "dma"
+    node_src: str = ""               # wide node tables: "" auto | "smem" | "vmem"
     env_res: int = 256               # mode-0 env sampling height (W = 2H);
                                      # dense-MXU cost scales with H*W
     env_mip_res: int = 512           # mode-1 (textureGrad) atlas base height
@@ -81,6 +84,10 @@ class Config:
             c.engine = os.environ["SRT_ENGINE"]
         if os.environ.get("SRT_PACKET_KERNEL"):
             c.packet_kernel = os.environ["SRT_PACKET_KERNEL"]
+        if os.environ.get("SRT_LEAF_MODE"):
+            c.leaf_mode = os.environ["SRT_LEAF_MODE"]
+        if os.environ.get("SRT_NODE_SRC"):
+            c.node_src = os.environ["SRT_NODE_SRC"]
         c.env_res = _env_int("SRT_ENV_RES", c.env_res)
         c.env_mip_res = _env_int("SRT_ENV_MIP_RES", c.env_mip_res)
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)

@@ -73,7 +73,11 @@ class Renderer:
             if cfg.packet_kernel == "wide":
                 from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
 
-                self.packed = pack_scene_wide(data, background, **pack_kwargs)
+                self.packed = pack_scene_wide(
+                    data, background,
+                    node_src=cfg.node_src or None,
+                    **pack_kwargs,
+                )
             else:
                 from shader_ray_tpu.ops.pallas.pack import pack_scene
 
@@ -106,6 +110,7 @@ class Renderer:
                 interleave=self.cfg.packet_interleave,
                 max_steps=self.cfg.packet_max_steps or None,
                 mesh=self.mesh,
+                leaf_mode=self.cfg.leaf_mode or None,
             )
         if self.mesh is not None:
             from shader_ray_tpu.parallel import make_sharded_render_fn

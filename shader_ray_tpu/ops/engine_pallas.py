@@ -55,6 +55,7 @@ def trace_rays_packet(
     max_steps: int | None = None,
     with_counts: bool = False,
     prefolded: bool = False,
+    leaf_mode: str | None = None,
 ) -> jnp.ndarray:
     """The 3-bounce trace loop over a full ray batch -> linear color.
 
@@ -72,16 +73,19 @@ def trace_rays_packet(
     cast = jnp.zeros((), jnp.int32)
     r = rays
 
+    wide = isinstance(packed, PackedSceneWide)
+    extra = {"leaf_mode": leaf_mode} if (wide and leaf_mode) else {}
     trace = functools.partial(
         # the wide (8-ary short-stack) kernel and the binary hitmiss
         # kernel share the PacketHit contract; the table type picks
-        packet_trace_wide if isinstance(packed, PackedSceneWide) else packet_trace,
+        packet_trace_wide if wide else packet_trace,
         tile=tile,
         max_steps=max_steps,
         mt_eps=statics.mt_eps,
         interleave=interleave,
         interpret=interpret,
         prefolded=prefolded,
+        **extra,
     )
 
     for _bounce in range(statics.bounce_count):
@@ -215,7 +219,7 @@ def _lane_unfold_perm(x: jnp.ndarray, tile: int, fold: int) -> jnp.ndarray:
 
 
 def _make_trace(packed, params, statics, tile, interpret, interleave,
-                max_steps, mesh, prefolded=False):
+                max_steps, mesh, prefolded=False, leaf_mode=None):
     """Trace closure over a (R, 3)-column Rays batch; when ``mesh`` is
     given, shard the batch 1-D over its ``("rays",)`` axis with
     shard_map — scene tables and params replicated, zero collectives in
@@ -225,7 +229,7 @@ def _make_trace(packed, params, statics, tile, interpret, interleave,
     def local(packed_, params_, rays_):
         return trace_rays_packet(
             packed_, rays_, params_, statics, tile, interpret, interleave,
-            max_steps, prefolded=prefolded,
+            max_steps, prefolded=prefolded, leaf_mode=leaf_mode,
         )
 
     if mesh is None:
@@ -273,6 +277,7 @@ def render_frame_packet(
     interleave: int = 2,
     max_steps: int | None = None,
     mesh=None,
+    leaf_mode: str | None = None,
 ) -> jnp.ndarray:
     """Full frame -> (H, W, 3), tonemapped unless disabled."""
     W, H = statics.width, statics.height
@@ -295,7 +300,7 @@ def render_frame_packet(
         rays = Rays(*[_lane_fold_perm(x, tile, FOLD) for x in rays])
     trace_batch = _make_trace(
         packed, params, statics, tile, interpret, interleave, max_steps,
-        mesh, prefolded,
+        mesh, prefolded, leaf_mode,
     )
 
     if statics.which == 3:
@@ -392,6 +397,7 @@ def make_packet_render_fn(
     interleave: int = 2,
     max_steps: int | None = None,
     mesh=None,
+    leaf_mode: str | None = None,
 ):
     """Jit the packet frame function (scene threaded as an argument —
     see module docstring) and close a convenience wrapper over the
@@ -406,7 +412,7 @@ def make_packet_render_fn(
     def _fn(packed_, params, statics_):
         return render_frame_packet(
             packed_, params, statics_, tile, interpret, interleave,
-            max_steps, mesh,
+            max_steps, mesh, leaf_mode,
         )
 
     def fn(params: FrameParams) -> jnp.ndarray:
