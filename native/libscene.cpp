@@ -646,3 +646,100 @@ int64_t srt_obj_parse(const char* path, float* pos, float* nrm) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Radiance RGBE (.hdr) reader (reference used FreeImagePlus FIT_RGBF,
+// ray.cpp:1048-1054).  Supports -Y H +X W orientation with adaptive
+// RLE and flat scanlines, matching the Python fallback bit-for-bit
+// (value = mantissa * 2^(e-136); e == 0 -> 0).
+// srt_hdr_size: 0 ok (writes H, W); -1 I/O, -2 not HDR, -3 orientation.
+int32_t srt_hdr_size(const char* path, int32_t* H, int32_t* W) {
+  std::string data;
+  if (!read_file(path, &data)) return -1;
+  if (data.rfind("#?RADIANCE", 0) != 0 && data.rfind("#?RGBE", 0) != 0)
+    return -2;
+  size_t pos = 0;
+  for (;;) {  // header lines until blank
+    size_t nl = data.find('\n', pos);
+    if (nl == std::string::npos) return -2;
+    if (nl == pos) { pos = nl + 1; break; }
+    pos = nl + 1;
+  }
+  size_t nl = data.find('\n', pos);
+  if (nl == std::string::npos) return -2;
+  int h = 0, w = 0;
+  if (std::sscanf(data.substr(pos, nl - pos).c_str(), "-Y %d +X %d", &h, &w) != 2)
+    return -3;
+  *H = h;
+  *W = w;
+  return 0;
+}
+
+// srt_hdr_read: fills out (H*W*3 float32). Returns 0, or negative error
+// (-4: truncated/corrupt pixel data).
+int32_t srt_hdr_read(const char* path, float* out) {
+  std::string data;
+  if (!read_file(path, &data)) return -1;
+  size_t pos = 0;
+  for (;;) {
+    size_t nl = data.find('\n', pos);
+    if (nl == std::string::npos) return -2;
+    if (nl == pos) { pos = nl + 1; break; }
+    pos = nl + 1;
+  }
+  size_t nl = data.find('\n', pos);
+  int H = 0, W = 0;
+  if (std::sscanf(data.substr(pos, nl - pos).c_str(), "-Y %d +X %d", &H, &W) != 2)
+    return -3;
+  pos = nl + 1;
+
+  const uint8_t* buf = (const uint8_t*)data.data();
+  size_t n = data.size(), p = pos;
+  std::vector<uint8_t> line((size_t)W * 4);
+  for (int y = 0; y < H; ++y) {
+    if (W >= 8 && W < 32768 && p + 4 <= n && buf[p] == 2 && buf[p + 1] == 2 &&
+        (((int)buf[p + 2] << 8) | (int)buf[p + 3]) == W) {
+      p += 4;  // adaptive RLE: 4 component planes
+      for (int c = 0; c < 4; ++c) {
+        int x = 0;
+        while (x < W) {
+          if (p >= n) return -4;
+          int code = buf[p++];
+          if (code > 128) {
+            int run = code - 128;
+            if (p >= n || x + run > W) return -4;
+            for (int k = 0; k < run; ++k) line[(size_t)(x + k) * 4 + c] = buf[p];
+            ++p;
+            x += run;
+          } else {
+            if (p + (size_t)code > n || x + code > W) return -4;
+            for (int k = 0; k < code; ++k)
+              line[(size_t)(x + k) * 4 + c] = buf[p + k];
+            p += code;
+            x += code;
+          }
+        }
+      }
+    } else {  // flat scanline
+      if (p + (size_t)W * 4 > n) return -4;
+      std::memcpy(line.data(), buf + p, (size_t)W * 4);
+      p += (size_t)W * 4;
+    }
+    for (int x = 0; x < W; ++x) {
+      const uint8_t* px = &line[(size_t)x * 4];
+      float* o = out + ((size_t)y * W + x) * 3;
+      if (px[3] == 0) {
+        o[0] = o[1] = o[2] = 0.0f;
+      } else {
+        float scale = std::ldexp(1.0f, (int)px[3] - 136);
+        o[0] = px[0] * scale;
+        o[1] = px[1] * scale;
+        o[2] = px[2] * scale;
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

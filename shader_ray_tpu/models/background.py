@@ -54,6 +54,15 @@ def read_hdr(path: str) -> np.ndarray:
     scanlines.  (The reference delegated to FreeImagePlus FIT_RGBF,
     ray.cpp:1048-1054.)
     """
+    from shader_ray_tpu.config import get_config
+
+    if get_config().use_native != "never":
+        from shader_ray_tpu import native
+
+        img = native.read_hdr_file(path)
+        if img is not None:
+            return img
+
     with open(path, "rb") as f:
         data = f.read()
 

@@ -97,6 +97,12 @@ def _load() -> ctypes.CDLL | None:
         lib.srt_obj_count.argtypes = [ctypes.c_char_p]
         lib.srt_obj_parse.restype = i64
         lib.srt_obj_parse.argtypes = [ctypes.c_char_p, f32p, f32p]
+        lib.srt_hdr_size.restype = i32
+        lib.srt_hdr_size.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(i32), ctypes.POINTER(i32)
+        ]
+        lib.srt_hdr_read.restype = i32
+        lib.srt_hdr_read.argtypes = [ctypes.c_char_p, f32p]
         _lib = lib
         return _lib
 
@@ -214,3 +220,28 @@ def parse_obj_file(path: str):
     if rc != T:
         raise ValueError(f"malformed OBJ file: {path}")
     return pos.reshape(T, 3, 3), nrm.reshape(T, 3, 3)
+
+
+def read_hdr_file(path: str):
+    """Native Radiance RGBE reader (reference FreeImagePlus FIT_RGBF
+    analog, ray.cpp:1048-1054).  Returns (H, W, 3) float32 or None if
+    the native library is unavailable; raises ValueError on malformed
+    files (matching the Python reader's contract)."""
+    lib = _load()
+    if lib is None:
+        return None
+    bpath = os.fsencode(path)
+    H = ctypes.c_int32()
+    W = ctypes.c_int32()
+    rc = lib.srt_hdr_size(bpath, ctypes.byref(H), ctypes.byref(W))
+    if rc == -1:
+        raise FileNotFoundError(path)
+    if rc == -2:
+        raise ValueError(f"{path}: not a Radiance HDR file")
+    if rc != 0:
+        raise ValueError(f"{path}: unsupported HDR orientation")
+    out = np.empty((H.value, W.value, 3), np.float32)
+    rc = lib.srt_hdr_read(bpath, out.reshape(-1))
+    if rc != 0:
+        raise ValueError(f"{path}: corrupt HDR pixel data (code {rc})")
+    return out

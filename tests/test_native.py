@@ -180,3 +180,29 @@ def test_obj_negative_indices(tmp_path):
     expect = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
     np.testing.assert_array_equal(ref.positions[ref.indices][0], expect)
     np.testing.assert_array_equal(got.positions[got.indices][0], expect)
+
+
+@pytest.mark.skipif(not native.available(), reason="libscene unavailable")
+def test_native_hdr_reader_matches_python(tmp_path, rng):
+    """Native RGBE reader vs the Python fallback on an RLE-written
+    round-trip fixture."""
+    from shader_ray_tpu.models.background import read_hdr
+    from shader_ray_tpu.models.fixtures import procedural_sky
+    from shader_ray_tpu.utils.hdr import write_hdr
+
+    img = procedural_sky(64).astype(np.float32)  # (32, 64, 3), HDR sun
+    path = str(tmp_path / "sky.hdr")
+    write_hdr(path, img)
+
+    got = native.read_hdr_file(path)
+    cfg_env = {}
+    import shader_ray_tpu.config as C
+    old = C.get_config().use_native
+    C.get_config().use_native = "never"
+    try:
+        ref = read_hdr(path)
+    finally:
+        C.get_config().use_native = old
+    np.testing.assert_array_equal(got, ref)
+    # RGBE round trip is lossy (shared exponent): ~1% relative
+    np.testing.assert_allclose(got, img, rtol=2e-2, atol=2e-3)
