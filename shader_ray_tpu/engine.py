@@ -6,10 +6,10 @@ Two engines, one contract (``fn(params) -> (H, W, 3)``):
   GL-parity feature set including the debug/supersample modes.  Uses
   XLA gathers, which the axon TPU runtime compiles/executes
   pathologically — so it is the CPU/test engine.
-* ``packet``    — Pallas packet megakernel + MXU env sampling
-  (ops/engine_pallas.py).  The production TPU engine.  Env sampling
-  is the reference's default ``which = 0`` mode at the packed env
-  resolution.
+* ``packet``    — Pallas packet megakernels + MXU env sampling
+  (ops/engine_pallas.py).  The production TPU engine: the 8-wide
+  short-stack kernel by default (binary hitmiss kept for A/B), full
+  debug-mode set including textureGrad trilinear mips (which = 1).
 
 ``auto`` resolves per backend: tpu -> packet, else wavefront.
 """
