@@ -63,7 +63,10 @@ class Config:
                                      # dense-MXU cost scales with H*W
     env_mip_res: int = 512           # mode-1 (textureGrad) atlas base height
     ray_tile: int = 2048             # rays per Pallas grid step (best measured)
+    packet_fused: bool = True        # fuse bounce+shadow pipeline into ONE
+                                     # pallas_call (kernel_mega); wide only
     packet_interleave: int = 1       # interleaved sub-packet walks per step
+                                     # (unfused kernels only)
     packet_max_steps: int = 0        # packet walk budget; 0 = 2*nodes+2
     debug_nans: bool = False         # jax_debug_nans (SURVEY 5.2 sanitizer)
     validate_scene: bool = False     # structural index-bounds sanitizer
@@ -91,6 +94,7 @@ class Config:
         c.env_res = _env_int("SRT_ENV_RES", c.env_res)
         c.env_mip_res = _env_int("SRT_ENV_MIP_RES", c.env_mip_res)
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)
+        c.packet_fused = _env_int("SRT_FUSED", int(c.packet_fused)) != 0
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
         c.packet_max_steps = _env_int("SRT_MAX_STEPS", c.packet_max_steps)
         c.debug_nans = os.environ.get("SRT_DEBUG_NANS") is not None

@@ -111,6 +111,7 @@ class Renderer:
                 max_steps=self.cfg.packet_max_steps or None,
                 mesh=self.mesh,
                 leaf_mode=self.cfg.leaf_mode or None,
+                fused=self.cfg.packet_fused,
             )
         if self.mesh is not None:
             from shader_ray_tpu.parallel import make_sharded_render_fn
@@ -145,6 +146,8 @@ class Renderer:
                     interleave=self.cfg.packet_interleave,
                     max_steps=self.cfg.packet_max_steps or None,
                     mesh=self.mesh,
+                    leaf_mode=self.cfg.leaf_mode or None,
+                    fused=self.cfg.packet_fused,
                 ))
 
             return lambda params: _fn(self.packed, params, statics)
@@ -193,6 +196,7 @@ class Renderer:
                 interleave=self.cfg.packet_interleave,
                 max_steps=self.cfg.packet_max_steps or None,
                 mesh=self.mesh,
+                fused=self.cfg.packet_fused,
             )
             return jnp.sum(out) if rsum else out
 
@@ -224,6 +228,8 @@ class Renderer:
                     interleave=self.cfg.packet_interleave,
                     max_steps=self.cfg.packet_max_steps or None,
                     with_counts=True,
+                    leaf_mode=self.cfg.leaf_mode or None,
+                    fused=self.cfg.packet_fused,
                 )
                 return cast
 

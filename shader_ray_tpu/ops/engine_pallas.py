@@ -29,9 +29,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from shader_ray_tpu.ops.pallas.envmxu import sample_env_mxu, sample_env_mxu_mip
+from shader_ray_tpu.ops.pallas.kernel_mega import (
+    UNI_DIFFUSE,
+    UNI_LIGHT_DIR,
+    UNI_NORMAL_INVERSE,
+    UNI_NORMAL_MATRIX,
+    UNI_OBJECT_MATRIX,
+    UNI_SIZE,
+    UNI_SPECULAR,
+)
 from shader_ray_tpu.ops.pallas.pack import PackedScene
 from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
 from shader_ray_tpu.ops.pallas.packet import FOLD, INFINITELY_FAR, packet_trace
+from shader_ray_tpu.ops.pallas.packet_mega import packet_shade
 from shader_ray_tpu.ops.pallas.packet_wide import packet_trace_wide
 from shader_ray_tpu.ops.render import FrameParams, RenderStatics, generate_rays
 from shader_ray_tpu.ops.shading import (
@@ -42,6 +52,95 @@ from shader_ray_tpu.ops.shading import (
     tonemap_and_gamma,
 )
 from shader_ray_tpu.ops.vecmath import dot, transform_dir, transform_point
+
+
+def _pack_uniforms(params: FrameParams) -> jnp.ndarray:
+    """FrameParams -> the megakernel's (UNI_SIZE,) f32 SMEM table
+    (kernel_mega.py layout)."""
+    uni = jnp.zeros((UNI_SIZE,), jnp.float32)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    uni = uni.at[UNI_OBJECT_MATRIX : UNI_OBJECT_MATRIX + 12].set(
+        f32(params.object_matrix)[:3, :4].reshape(-1)
+    )
+    uni = uni.at[UNI_NORMAL_MATRIX : UNI_NORMAL_MATRIX + 9].set(
+        f32(params.object_normal_matrix)[:3, :3].reshape(-1)
+    )
+    uni = uni.at[UNI_NORMAL_INVERSE : UNI_NORMAL_INVERSE + 9].set(
+        f32(params.object_normal_inverse)[:3, :3].reshape(-1)
+    )
+    uni = uni.at[UNI_LIGHT_DIR : UNI_LIGHT_DIR + 3].set(
+        f32(params.light_dir).reshape(-1)
+    )
+    uni = uni.at[UNI_SPECULAR : UNI_SPECULAR + 3].set(
+        f32(params.specular_color).reshape(-1)
+    )
+    uni = uni.at[UNI_DIFFUSE : UNI_DIFFUSE + 3].set(
+        f32(params.diffuse_color).reshape(-1)
+    )
+    return uni
+
+
+def _env_lookup(packed, statics: RenderStatics, D, gx, gy) -> jnp.ndarray:
+    """The environment term for the final rays, per debug mode: mode 0
+    base-level MXU bilinear (fs:153), mode 1 textureGrad trilinear mips
+    (fs:146), mode 2 the dY differential visualization (fs:147-149)."""
+    if statics.which == 2:
+        from shader_ray_tpu.ops.envmap import env_derivatives
+
+        _, _, dudy, dvdy = env_derivatives(D, gx, gy)
+        return jnp.stack(
+            [jnp.abs(dudy) * 100.0, jnp.abs(dvdy) * 100.0, jnp.zeros_like(dudy)],
+            axis=-1,
+        )
+    if statics.which == 1:
+        H0, W0 = packed.env_atlas_base
+        return sample_env_mxu_mip(packed.env_atlas, H0, W0, D, gx, gy)
+    return sample_env_mxu(packed.env, D)
+
+
+def _trace_rays_packet_fused(
+    packed: PackedSceneWide,
+    rays: Rays,
+    params: FrameParams,
+    statics: RenderStatics,
+    tile: int,
+    interpret: bool,
+    max_steps: int | None,
+    with_counts: bool,
+    prefolded: bool,
+    leaf_mode: str | None,
+):
+    """Fused fast path: ONE pallas_call runs the whole bounce/shadow
+    pipeline (ops/pallas/kernel_mega.py), then the env term and final
+    combine happen here.  Numerically equivalent to the unfused loop
+    up to f32 op-order (see kernel_mega docstring)."""
+    with_grads = statics.which in (1, 2)
+    res = packet_shade(
+        packed,
+        rays.P,
+        rays.D,
+        rays.dDdx if with_grads else None,
+        rays.dDdy if with_grads else None,
+        _pack_uniforms(params),
+        tile=tile,
+        max_steps=max_steps,
+        mt_eps=statics.mt_eps,
+        bounce_count=statics.bounce_count,
+        cast_shadows=statics.cast_shadows,
+        enable_diffuse=statics.enable_diffuse,
+        surface_fudge=statics.surface_fudge,
+        with_grads=with_grads,
+        leaf_mode=leaf_mode or "scalar",
+        interpret=interpret,
+        prefolded=prefolded,
+    )
+    env = _env_lookup(packed, statics, res.D, res.gx, res.gy)
+    color = res.acc + res.mod * env
+    bad_color = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+    color = jnp.where(res.bad[..., None], bad_color, color)
+    if with_counts:
+        return color, res.cast
+    return color
 
 
 def trace_rays_packet(
@@ -56,13 +155,21 @@ def trace_rays_packet(
     with_counts: bool = False,
     prefolded: bool = False,
     leaf_mode: str | None = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """The 3-bounce trace loop over a full ray batch -> linear color.
 
     ``with_counts`` additionally returns the number of rays actually
     cast (alive bounce rays + shadow rays from lit hits) — the honest
     denominator for Mrays/s, vs the W*H*6 potential-ray upper bound
-    (BASELINE.md accounting)."""
+    (BASELINE.md accounting).  ``fused=True`` routes wide scenes
+    through the single-pallas_call megakernel (interleave ignored
+    there; the fused walk is single-chain)."""
+    if fused and isinstance(packed, PackedSceneWide) and statics.which in (0, 1, 2):
+        return _trace_rays_packet_fused(
+            packed, rays, params, statics, tile, interpret, max_steps,
+            with_counts, prefolded, leaf_mode,
+        )
     R = rays.P.shape[0]
     f32 = jnp.float32
 
@@ -137,28 +244,7 @@ def trace_rays_packet(
         ])
         alive = hit_ok
 
-    if statics.which == 2:
-        # visualize the dY env-coordinate differential (fs:147-149) —
-        # pure math, identical to the wavefront engine's mode 2
-        from shader_ray_tpu.ops.envmap import env_derivatives
-
-        _, _, dudy, dvdy = env_derivatives(r.D, r.dDdx, r.dDdy)
-        env = jnp.stack(
-            [jnp.abs(dudy) * 100.0, jnp.abs(dvdy) * 100.0, jnp.zeros_like(dudy)],
-            axis=-1,
-        )
-    elif statics.which == 1:
-        # textureGrad mode (fs:146): trilinear mip sampling on the MXU
-        # from the analytic ray-differential LOD, over the full-res
-        # atlas (GL LINEAR_MIPMAP_LINEAR, ray.cpp:499-510)
-        H0, W0 = packed.env_atlas_base
-        env = sample_env_mxu_mip(
-            packed.env_atlas, H0, W0, r.D, r.dDdx, r.dDdy
-        )
-    else:
-        # mode 0: base-level bilinear lookup on the MXU (the
-        # reference's zero-gradient default, fs:153)
-        env = sample_env_mxu(packed.env, r.D)
+    env = _env_lookup(packed, statics, r.D, r.dDdx, r.dDdy)
     color = accumulated + modulation * env
     bad_color = jnp.array([1.0, 0.0, 0.0], f32)
     color = jnp.where(bad[..., None], bad_color, color)
@@ -219,7 +305,8 @@ def _lane_unfold_perm(x: jnp.ndarray, tile: int, fold: int) -> jnp.ndarray:
 
 
 def _make_trace(packed, params, statics, tile, interpret, interleave,
-                max_steps, mesh, prefolded=False, leaf_mode=None):
+                max_steps, mesh, prefolded=False, leaf_mode=None,
+                fused=True):
     """Trace closure over a (R, 3)-column Rays batch; when ``mesh`` is
     given, shard the batch 1-D over its ``("rays",)`` axis with
     shard_map — scene tables and params replicated, zero collectives in
@@ -230,6 +317,7 @@ def _make_trace(packed, params, statics, tile, interpret, interleave,
         return trace_rays_packet(
             packed_, rays_, params_, statics, tile, interpret, interleave,
             max_steps, prefolded=prefolded, leaf_mode=leaf_mode,
+            fused=fused,
         )
 
     if mesh is None:
@@ -278,6 +366,7 @@ def render_frame_packet(
     max_steps: int | None = None,
     mesh=None,
     leaf_mode: str | None = None,
+    fused: bool = True,
 ) -> jnp.ndarray:
     """Full frame -> (H, W, 3), tonemapped unless disabled."""
     W, H = statics.width, statics.height
@@ -300,7 +389,7 @@ def render_frame_packet(
         rays = Rays(*[_lane_fold_perm(x, tile, FOLD) for x in rays])
     trace_batch = _make_trace(
         packed, params, statics, tile, interpret, interleave, max_steps,
-        mesh, prefolded, leaf_mode,
+        mesh, prefolded, leaf_mode, fused,
     )
 
     if statics.which == 3:
@@ -364,6 +453,7 @@ def render_progressive_packet(
     interleave: int = 2,
     max_steps: int | None = None,
     mesh=None,
+    fused: bool = True,
 ) -> jnp.ndarray:
     """Progressive accumulation fully on device: average ``K`` frames
     rendered at the given (K, 2) sub-pixel jitters in linear space,
@@ -376,7 +466,8 @@ def render_progressive_packet(
     def step(acc, jit2):
         prm = params._replace(pixel_jitter=jit2)
         frame = render_frame_packet(
-            packed, prm, inner, tile, interpret, interleave, max_steps, mesh
+            packed, prm, inner, tile, interpret, interleave, max_steps,
+            mesh, fused=fused,
         )
         return acc + frame, None
 
@@ -398,6 +489,7 @@ def make_packet_render_fn(
     max_steps: int | None = None,
     mesh=None,
     leaf_mode: str | None = None,
+    fused: bool = True,
 ):
     """Jit the packet frame function (scene threaded as an argument —
     see module docstring) and close a convenience wrapper over the
@@ -412,7 +504,7 @@ def make_packet_render_fn(
     def _fn(packed_, params, statics_):
         return render_frame_packet(
             packed_, params, statics_, tile, interpret, interleave,
-            max_steps, mesh, leaf_mode,
+            max_steps, mesh, leaf_mode, fused,
         )
 
     def fn(params: FrameParams) -> jnp.ndarray:

@@ -25,6 +25,11 @@ scalar sync.  Layout choices are driven by measured axon v5e costs
 the serial step latency; a dead walk (empty stack) takes fake steps on
 a clamped node with its hit mask forced to 0, so both passes no-op and
 its pushes never advance sp.
+
+The walk machinery is exposed as ``make_wide_walker`` so the fused
+shading megakernel (kernel_mega.py) can run multiple walks (bounce +
+shadow per bounce) inside ONE pallas_call, sharing the same SMEM
+tables and scratch.
 """
 
 from __future__ import annotations
@@ -98,7 +103,7 @@ def leaf_tests_smem(
     return t, which, nx, ny, nz
 
 
-def wide_kernel(
+def make_wide_walker(
     leaves_ref,
     boxes_ref,
     cmeta_ref,
@@ -106,53 +111,48 @@ def wide_kernel(
     masks_ref,
     tribase_ref,
     nodes_ref,
-    P_ref,
-    D_ref,
-    act_ref,
-    t_ref,
-    which_ref,
-    n_ref,
-    bad_ref,
-    *stats_and_scratch,
+    stack_ref,
+    leafbuf_ref,
+    sems_ref,
+    nodebuf_ref,
+    nsems_ref,
+    *,
     n_wide: int,
     max_steps: int,
     mt_eps: float,
-    tile: int,
     fold: int,
     walks: int,
+    lane_width: int,
     stack_depth: int,
     box_quant: tuple,
-    any_hit: bool = False,
-    with_stats: bool = False,
     leaf_mode: str = "dma",  # "dma" | "scalar" | "skip" (walk-cost probe)
     leaf_slots: int = 10,    # static slot-unroll bound (scene max count)
     node_src: str = "smem",  # "smem" tables | "vmem" rows DMA'd per step
 ):
+    """Build a reusable short-stack walker closed over the scene refs
+    and scratch.  The returned ``run(rays, any_hit)`` traces the given
+    per-walk ray blocks and returns the per-walk final states
+    ``(sp, steps, leafs, badw, t, which, nx, ny, nz)`` — callable more
+    than once per kernel (the fused megakernel runs 6 walks/step)."""
     f32 = jnp.float32
     i32 = jnp.int32
     F = fold
-    C = tile // F
     W = walks
-    CW = C // W
+    CW = lane_width
     SD = stack_depth
-    if with_stats:
-        (stats_ref, stack_ref, leafbuf_ref, sems_ref,
-         nodebuf_ref, nsems_ref) = stats_and_scratch
-    else:
-        (stack_ref, leafbuf_ref, sems_ref,
-         nodebuf_ref, nsems_ref) = stats_and_scratch
-
-    rays = make_walk_rays(P_ref, D_ref, act_ref, F, W, CW)
     ox, oy, oz, sx, sy, sz = box_quant
-    # fold the box dequant affine into per-walk ray vectors:
-    # slab distance = (q*s + o - P) * inv = q * (s*inv) + (o - P) * inv
-    for r in rays:
+
+    def prepare(r):
+        # fold the box dequant affine into per-walk ray vectors:
+        # slab distance = (q*s + o - P) * inv = q*(s*inv) + (o - P)*inv
+        r = dict(r)
         r["Ax"] = sx * r["invx"]
         r["Bx"] = (ox - r["Px"]) * r["invx"]
         r["Ay"] = sy * r["invy"]
         r["By"] = (oy - r["Py"]) * r["invy"]
         r["Az"] = sz * r["invz"]
         r["Bz"] = (oz - r["Pz"]) * r["invz"]
+        return r
 
     def or_reduce_bits(v):
         """(F, CW) i32 lane bitmask -> scalar OR via static halving."""
@@ -166,9 +166,8 @@ def wide_kernel(
             v = v[:, 0:width] | v[:, width : 2 * width]
         return jnp.sum(v)  # (1,1) -> scalar
 
-    def walk_step(w, st):
+    def walk_step(w, st, r, any_hit):
         sp, steps, leafs, badw, t, which, nx, ny, nz = st
-        r = rays[w]
         alive = sp > 0
         spc = jnp.maximum(sp - 1, 0)
         g = stack_ref[w * SD + spc]
@@ -313,34 +312,96 @@ def wide_kernel(
         sp2 = jnp.where(overflow, 0, sp2)
         return (sp2, steps2, leafs, badw, t, which, nx, ny, nz)
 
-    def cond(states):
-        open_ = None
-        for w in range(W):
-            a = states[w][0] > 0
-            open_ = a if open_ is None else (open_ | a)
-        return open_
+    def run(rays, any_hit=False):
+        rays = [prepare(r) for r in rays]
 
-    def body(states):
-        return tuple(walk_step(w, states[w]) for w in range(W))
+        def cond(states):
+            open_ = None
+            for w in range(W):
+                a = states[w][0] > 0
+                open_ = a if open_ is None else (open_ | a)
+            return open_
 
-    def init_state(w):
-        has_work = jnp.any(rays[w]["act"])
-        stack_ref[w * SD] = jnp.int32(0)  # root wide node
-        return (
-            jnp.where(has_work, 1, 0).astype(i32),
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.zeros((), bool),
-            jnp.full((F, CW), INFINITELY_FAR, f32),
-            jnp.full((F, CW), -1, i32),
-            jnp.zeros((F, CW), f32),
-            jnp.zeros((F, CW), f32),
-            jnp.zeros((F, CW), f32),
+        def body(states):
+            return tuple(
+                walk_step(w, states[w], rays[w], any_hit) for w in range(W)
+            )
+
+        def init_state(w):
+            has_work = jnp.any(rays[w]["act"])
+            stack_ref[w * SD] = jnp.int32(0)  # root wide node
+            return (
+                jnp.where(has_work, 1, 0).astype(i32),
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.zeros((), bool),
+                jnp.full((F, CW), INFINITELY_FAR, f32),
+                jnp.full((F, CW), -1, i32),
+                jnp.zeros((F, CW), f32),
+                jnp.zeros((F, CW), f32),
+                jnp.zeros((F, CW), f32),
+            )
+
+        return jax.lax.while_loop(
+            cond, body, tuple(init_state(w) for w in range(W))
         )
 
-    states = jax.lax.while_loop(
-        cond, body, tuple(init_state(w) for w in range(W))
+    return run
+
+
+def wide_kernel(
+    leaves_ref,
+    boxes_ref,
+    cmeta_ref,
+    order_ref,
+    masks_ref,
+    tribase_ref,
+    nodes_ref,
+    P_ref,
+    D_ref,
+    act_ref,
+    t_ref,
+    which_ref,
+    n_ref,
+    bad_ref,
+    *stats_and_scratch,
+    n_wide: int,
+    max_steps: int,
+    mt_eps: float,
+    tile: int,
+    fold: int,
+    walks: int,
+    stack_depth: int,
+    box_quant: tuple,
+    any_hit: bool = False,
+    with_stats: bool = False,
+    leaf_mode: str = "dma",
+    leaf_slots: int = 10,
+    node_src: str = "smem",
+):
+    i32 = jnp.int32
+    F = fold
+    C = tile // F
+    W = walks
+    CW = C // W
+    if with_stats:
+        (stats_ref, stack_ref, leafbuf_ref, sems_ref,
+         nodebuf_ref, nsems_ref) = stats_and_scratch
+    else:
+        (stack_ref, leafbuf_ref, sems_ref,
+         nodebuf_ref, nsems_ref) = stats_and_scratch
+
+    rays = make_walk_rays(P_ref, D_ref, act_ref, F, W, CW)
+    walker = make_wide_walker(
+        leaves_ref, boxes_ref, cmeta_ref, order_ref, masks_ref,
+        tribase_ref, nodes_ref, stack_ref, leafbuf_ref, sems_ref,
+        nodebuf_ref, nsems_ref,
+        n_wide=n_wide, max_steps=max_steps, mt_eps=mt_eps, fold=F,
+        walks=W, lane_width=CW, stack_depth=stack_depth,
+        box_quant=box_quant, leaf_mode=leaf_mode, leaf_slots=leaf_slots,
+        node_src=node_src,
     )
+    states = walker(rays, any_hit=any_hit)
 
     steps_total = jnp.int32(0)
     leafs_total = jnp.int32(0)

@@ -1,0 +1,219 @@
+"""Entry point for the fused shading megakernel (kernel_mega.py).
+
+``packet_shade`` runs the complete bounce/shadow pipeline for a ray
+batch in ONE pallas_call and returns the pre-environment shading
+state; the caller (ops/engine_pallas.trace_rays_packet with
+``fused=True``) finishes ``color = acc + mod * env(D)`` on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from shader_ray_tpu.ops.pallas.kernel_mega import UNI_SIZE, mega_kernel
+from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
+from shader_ray_tpu.ops.pallas.packet import FOLD, MT_EPSILON, _fold, _unfold
+
+
+class ShadeResult(NamedTuple):
+    acc: jnp.ndarray          # (R, 3) accumulated diffuse color
+    mod: jnp.ndarray          # (R, 3) final modulation
+    D: jnp.ndarray            # (R, 3) final ray direction (env lookup)
+    gx: jnp.ndarray | None    # (R, 3) final dDdx (which 1/2 modes)
+    gy: jnp.ndarray | None    # (R, 3) final dDdy
+    bad: jnp.ndarray          # (R,) bool walk-budget overflow
+    cast: jnp.ndarray         # () i32 rays actually cast
+
+
+def packet_shade(
+    scene: PackedSceneWide,
+    P: jnp.ndarray,
+    D: jnp.ndarray,
+    gx: jnp.ndarray | None,
+    gy: jnp.ndarray | None,
+    uni: jnp.ndarray,
+    active: jnp.ndarray | None = None,
+    tile: int = 2048,
+    max_steps: int | None = None,
+    mt_eps: float = MT_EPSILON,
+    bounce_count: int = 3,
+    cast_shadows: bool = True,
+    enable_diffuse: bool = True,
+    surface_fudge: float = 1e-4,
+    with_grads: bool = False,
+    leaf_mode: str = "scalar",
+    interpret: bool = False,
+    prefolded: bool = False,
+) -> ShadeResult:
+    """Fused bounce pipeline over a world-space ray batch.
+
+    P, D (and gx, gy when ``with_grads``): (R, 3) float32; ``uni`` is
+    the (UNI_SIZE,) f32 frame-uniform table (kernel_mega layout).
+    ``tile`` must be a power-of-two multiple of 1024."""
+    assert tile % (FOLD * 128) == 0, "mega kernel tile must be a multiple of 1024"
+    fold = FOLD
+    R = P.shape[0]
+    pad = 0 if prefolded else (-R) % tile
+    if prefolded:
+        assert R % tile == 0, "prefolded rays must divide the tile size"
+    Rp = R + pad
+    n_tiles = Rp // tile
+    C = tile // fold
+    assert C & (C - 1) == 0, (
+        f"tile/fold must give a power-of-two lane width (got {C})"
+    )
+
+    fold_in = (
+        (lambda c: c.reshape(fold, n_tiles * C))
+        if prefolded
+        else (lambda c: _fold(c, n_tiles, tile, fold))
+    )
+
+    def prep(x, fill=0.0):
+        x = jnp.asarray(x, jnp.float32)
+        if pad:
+            tail = jnp.full((pad, 3), fill, x.dtype)
+            if fill != 0.0:
+                # padded directions get unit z (zero D => inf/NaN slab
+                # and env math in the padded lanes)
+                tail = jnp.broadcast_to(
+                    jnp.array([0.0, 0.0, 1.0], x.dtype), (pad, 3)
+                )
+            x = jnp.concatenate([x, tail], axis=0)
+        comps = [fold_in(x[:, c]) for c in range(3)]
+        return jnp.concatenate(comps, axis=0)  # (3*FOLD, n_tiles*C)
+
+    Pt = prep(P)
+    Dt = prep(D, fill=1.0)
+    if with_grads:
+        gxt = prep(gx)
+        gyt = prep(gy)
+    if active is None:
+        actv = jnp.concatenate(
+            [jnp.ones((R,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+        ) if pad else jnp.ones((Rp,), jnp.float32)
+    else:
+        actv = jnp.asarray(active).astype(jnp.float32).reshape(R)
+        if pad:
+            actv = jnp.concatenate([actv, jnp.zeros((pad,), jnp.float32)])
+    actt = fold_in(actv)
+
+    if max_steps is None:
+        max_steps = scene.n_wide + 2
+
+    kernel = functools.partial(
+        mega_kernel,
+        n_wide=scene.n_wide,
+        max_steps=max_steps,
+        mt_eps=mt_eps,
+        tile=tile,
+        fold=fold,
+        stack_depth=scene.stack_depth,
+        box_quant=scene.box_quant,
+        bounce_count=bounce_count,
+        cast_shadows=cast_shadows,
+        enable_diffuse=enable_diffuse,
+        surface_fudge=surface_fudge,
+        with_grads=with_grads,
+        leaf_mode=leaf_mode,
+        leaf_slots=scene.max_count,
+        node_src=scene.node_src,
+    )
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
+    )
+    rays = lambda rows: pl.BlockSpec(
+        (rows, C), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    in_specs = [
+        full(scene.leaves.shape),
+        smem(scene.boxes_smem.shape),
+        smem(scene.cmeta_smem.shape),
+        smem(scene.order_smem.shape),
+        smem(scene.masks_smem.shape),
+        smem(scene.tribase_smem.shape),
+        full(scene.nodes_vmem.shape),
+        smem((UNI_SIZE,)),
+        rays(3 * fold),
+        rays(3 * fold),
+    ]
+    operands = [
+        scene.leaves, scene.boxes_smem, scene.cmeta_smem,
+        scene.order_smem, scene.masks_smem, scene.tribase_smem,
+        scene.nodes_vmem, uni, Pt, Dt,
+    ]
+    if with_grads:
+        in_specs += [rays(3 * fold), rays(3 * fold)]
+        operands += [gxt, gyt]
+    in_specs.append(rays(fold))
+    operands.append(actt)
+
+    vec3 = jax.ShapeDtypeStruct((3 * fold, Rp // fold), jnp.float32)
+    out_specs = [rays(3 * fold), rays(3 * fold), rays(3 * fold)]
+    out_shape = [vec3, vec3, vec3]
+    if with_grads:
+        out_specs += [rays(3 * fold), rays(3 * fold)]
+        out_shape += [vec3, vec3]
+    out_specs += [
+        rays(fold),
+        pl.BlockSpec((8, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((fold, Rp // fold), jnp.int32),
+        jax.ShapeDtypeStruct((8, n_tiles * 128), jnp.int32),
+    ]
+
+    table_bytes = 4 * 128 * (scene.leaves.shape[0] + scene.nodes_vmem.shape[0])
+    vmem_limit = min(table_bytes + (8 << 20), 120 << 20)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((scene.stack_depth,), jnp.int32),
+            pltpu.SMEM((16, scene.leaves.shape[1]), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SMEM((8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(*operands)
+
+    if with_grads:
+        acc3, mod3, dout3, gxo3, gyo3, bad, cnt = outs
+    else:
+        acc3, mod3, dout3, bad, cnt = outs
+        gxo3 = gyo3 = None
+
+    un = (
+        (lambda x: x.reshape(Rp))
+        if prefolded
+        else (lambda x: _unfold(x, n_tiles, tile, fold)[:R])
+    )
+    unstack = lambda v3: jnp.stack(
+        [un(v3[0:fold]), un(v3[fold : 2 * fold]), un(v3[2 * fold :])], axis=-1
+    )
+    cast = jnp.sum(cnt[0].reshape(n_tiles, 128)[:, 0])
+    return ShadeResult(
+        acc=unstack(acc3),
+        mod=unstack(mod3),
+        D=unstack(dout3),
+        gx=unstack(gxo3) if with_grads else None,
+        gy=unstack(gyo3) if with_grads else None,
+        bad=un(bad) > 0,
+        cast=cast,
+    )

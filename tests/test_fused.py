@@ -1,0 +1,176 @@
+"""Fused shading megakernel (ONE pallas_call per frame) vs the unfused
+bounce loop and the wavefront engine.  Pallas interpret mode on CPU.
+
+The fused kernel evaluates the same formulas in a different f32 op
+order (in-kernel scalar madds vs XLA (R,3) matmuls), so comparisons
+use tolerances — see kernel_mega.py's exact-f32 caveat.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shader_ray_tpu.models.fixtures import procedural_sky, uv_sphere
+from shader_ray_tpu.models.triangle_set import TriangleSet
+from shader_ray_tpu.models.world import get_shader_data, make_world
+from shader_ray_tpu.ops.engine_pallas import (
+    render_frame_packet,
+    render_progressive_packet,
+    trace_rays_packet,
+)
+from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+from shader_ray_tpu.ops.render import (
+    RenderStatics,
+    default_frame_params,
+    generate_rays,
+    render_frame,
+)
+from shader_ray_tpu.ops.scene import upload_scene
+from shader_ray_tpu.utils import mat4
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    pos, _ = uv_sphere(lat=8, lon=12)
+    ts = TriangleSet.from_arrays(pos)
+    return get_shader_data(make_world(ts))
+
+
+@pytest.fixture(scope="module")
+def packed(sphere):
+    return pack_scene_wide(sphere, procedural_sky(512), env_size=(256, 512))
+
+
+def _params():
+    return default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0, 0, 3.0).astype(np.float32)
+        ),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.3, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32)),
+    )
+
+
+@pytest.mark.parametrize("which", [0, 1, 2])
+def test_fused_matches_unfused(packed, which):
+    statics = RenderStatics(width=40, height=32, which=which)
+    params = _params()
+    un = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=False)
+    )
+    fu = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=True)
+    )
+    np.testing.assert_allclose(fu, un, atol=2e-3)
+
+
+def test_fused_matches_wavefront(sphere, packed):
+    statics = RenderStatics(width=40, height=32, tile_size=512)
+    params = _params()
+    ref = np.asarray(render_frame(upload_scene(sphere, procedural_sky(512)),
+                                  params, statics))
+    fu = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=True)
+    )
+    np.testing.assert_allclose(fu, ref, atol=2e-2)
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        dict(cast_shadows=False),
+        dict(enable_diffuse=False),
+        dict(bounce_count=1),
+        dict(bounce_count=2, cast_shadows=False),
+    ],
+)
+def test_fused_static_flag_combos(packed, overrides):
+    statics = RenderStatics(width=40, height=32, **overrides)
+    params = _params()
+    un = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=False)
+    )
+    fu = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=True)
+    )
+    np.testing.assert_allclose(fu, un, atol=2e-3)
+
+
+def test_fused_cast_counts_match(packed):
+    """The in-kernel cast-ray accounting (honest Mrays/s denominator)
+    must agree with the unfused XLA count."""
+    statics = RenderStatics(width=40, height=32)
+    params = _params()
+    rays, _ = generate_rays(statics, params)
+    _, cast_un = trace_rays_packet(
+        packed, rays, params, statics, tile=1024, interpret=True,
+        with_counts=True, fused=False,
+    )
+    _, cast_fu = trace_rays_packet(
+        packed, rays, params, statics, tile=1024, interpret=True,
+        with_counts=True, fused=True,
+    )
+    assert int(cast_un) == int(cast_fu)
+    # sanity: between R (all primary) and R * 6 (all potential)
+    R = statics.width * statics.height
+    assert R <= int(cast_fu) <= 6 * R
+
+
+def test_fused_ray_padding(packed):
+    """A ray count that does not divide the tile exercises the padded
+    inactive lanes (unit-z directions, zero active mask)."""
+    statics = RenderStatics(width=40, height=32)
+    params = _params()
+    rays, _ = generate_rays(statics, params)
+    R = 1000  # < one 1024-lane fold block
+    sub = type(rays)(*[x[:R] for x in rays])
+    un = trace_rays_packet(
+        packed, sub, params, statics, tile=1024, interpret=True,
+        fused=False,
+    )
+    fu = trace_rays_packet(
+        packed, sub, params, statics, tile=1024, interpret=True, fused=True,
+    )
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(un), atol=2e-3)
+    assert np.isfinite(np.asarray(fu)).all()
+
+
+def test_fused_progressive(packed):
+    """Progressive scan-carry batch with the fused kernel inside."""
+    statics = RenderStatics(width=40, height=32)
+    params = _params()
+    jitters = jnp.asarray([[0.0, 0.0], [0.25, -0.25]], jnp.float32)
+    un = render_progressive_packet(
+        packed, params, statics, jitters, tile=1024, interpret=True,
+        fused=False,
+    )
+    fu = render_progressive_packet(
+        packed, params, statics, jitters, tile=1024, interpret=True,
+        fused=True,
+    )
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(un), atol=2e-3)
+
+
+def test_fused_sharded(packed):
+    """shard_map over the rays axis with the fused kernel per shard."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:4])
+    mesh = Mesh(devs, ("rays",))
+    statics = RenderStatics(width=40, height=32)
+    params = _params()
+    solo = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=True)
+    )
+    shard = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=True, mesh=mesh)
+    )
+    np.testing.assert_allclose(shard, solo, atol=2e-3)
