@@ -40,7 +40,7 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "5"))
 # batch (the REPL's `prog N`) renders N jittered frames in ONE device
 # dispatch, amortizing the ~40 ms axon host round-trip that otherwise
 # dominates a 1024x768 frame.  BENCH_BATCH=1 times bare single frames.
-BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 TARGET_MRAYS = 200.0
 
 
@@ -89,6 +89,10 @@ def main() -> None:
         width=WIDTH,
         height=HEIGHT,
         tile_size=int(os.environ.get("BENCH_TILE", "65536")),
+        # perf-attribution knobs (default = the canonical workload)
+        cast_shadows=os.environ.get("BENCH_SHADOWS", "1") != "0",
+        bounce_count=int(os.environ.get("BENCH_BOUNCES", "3")),
+        which=int(os.environ.get("BENCH_WHICH", "0")),
     )
     # camera framing like the reference default: zoom = extent/2/sin(fov/2)
     # (ray.cpp:1079); the bunny-class sphere has extent ~2.6

@@ -43,7 +43,12 @@ from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
 from shader_ray_tpu.ops.pallas.packet import FOLD, INFINITELY_FAR, packet_trace
 from shader_ray_tpu.ops.pallas.packet_mega import packet_shade
 from shader_ray_tpu.ops.pallas.packet_wide import packet_trace_wide
-from shader_ray_tpu.ops.render import FrameParams, RenderStatics, generate_rays
+from shader_ray_tpu.ops.render import (
+    FrameParams,
+    RenderStatics,
+    generate_rays,
+    rays_for_pixels,
+)
 from shader_ray_tpu.ops.shading import (
     Rays,
     f_schlick_vr,
@@ -218,7 +223,11 @@ def trace_rays_packet(
         if statics.enable_diffuse:
             lcos = jnp.maximum(0.0, dot(world_n, params.light_dir))
             if statics.cast_shadows:
-                cast = cast + jnp.sum(hit_ok.astype(jnp.int32))
+                # light-facing hits only (lcos == 0 lanes add no diffuse
+                # either way; output-identical to the reference's
+                # unconditional cast, fs:454-464)
+                sact = hit_ok & (lcos > 0.0)
+                cast = cast + jnp.sum(sact.astype(jnp.int32))
                 sP = transform_point(params.object_matrix, reflected.P)
                 sD = transform_dir(
                     params.object_normal_matrix,
@@ -226,7 +235,7 @@ def trace_rays_packet(
                 )
                 # occlusion query: any-hit mode exits the walk as soon
                 # as every active lane is shadowed
-                shadow = trace(packed, sP, sD, active=hit_ok, any_hit=True)
+                shadow = trace(packed, sP, sD, active=sact, any_hit=True)
                 lit = shadow.t >= INFINITELY_FAR
             else:
                 lit = jnp.ones((R,), bool)
@@ -304,6 +313,33 @@ def _lane_unfold_perm(x: jnp.ndarray, tile: int, fold: int) -> jnp.ndarray:
     return x.reshape(fold, nt, C, -1).transpose(1, 0, 2, 3).reshape(R, -1)
 
 
+def _laned_pixel_coords(H, W, bh, bw, tile, fold):
+    """(row, col) float32 pixel indices for each kernel-lane-order ray
+    slot: the closed-form composition of _swizzle and _lane_fold_perm.
+    Generating rays directly at these coordinates (rays_for_pixels) is
+    pure elementwise math — it replaces two transpose passes over all
+    six ray fields (~200 MB of HBM permute traffic per frame)."""
+    R = H * W
+    nt = R // tile
+    C = tile // fold
+    q = jnp.arange(R, dtype=jnp.int32)
+    f = q // (nt * C)
+    r1 = q % (nt * C)
+    t = r1 // C
+    c = r1 % C
+    s = (t * fold + f) * C + c  # block-swizzled flat index
+    if bh > 1:
+        nbw = W // bw
+        b = s // (bh * bw)
+        p = s % (bh * bw)
+        j = (b // nbw) * bh + p // bw
+        i = (b % nbw) * bw + p % bw
+    else:
+        j = s // W
+        i = s % W
+    return j.astype(jnp.float32), i.astype(jnp.float32)
+
+
 def _make_trace(packed, params, statics, tile, interpret, interleave,
                 max_steps, mesh, prefolded=False, leaf_mode=None,
                 fused=True):
@@ -370,15 +406,13 @@ def render_frame_packet(
 ) -> jnp.ndarray:
     """Full frame -> (H, W, 3), tonemapped unless disabled."""
     W, H = statics.width, statics.height
-    rays, _ = generate_rays(statics, params)
     bh, bw = _block_dims(H, W, tile)
-    if bh > 1:
-        rays = Rays(*[_swizzle(x, H, W, bh, bw) for x in rays])
-    # kernel-lane permutation applied once per frame (folds inside each
-    # of the up-to-6 traces then reduce to reshapes); the sharded path
-    # keeps pixel order so shard slicing stays contiguous.  Only valid
-    # when the kernels fold with FOLD sublanes (tile multiple of 1024 —
-    # the binary engine folds differently for smaller tiles).
+    # kernel-lane ordering applied at ray GENERATION (closed-form pixel
+    # coords per lane slot — no transpose passes; folds inside each
+    # trace reduce to reshapes); the sharded path keeps pixel order so
+    # shard slicing stays contiguous.  Only valid when the kernels fold
+    # with FOLD sublanes (tile multiple of 1024 — the binary engine
+    # folds differently for smaller tiles).
     prefolded = (
         mesh is None
         and statics.which not in (3,)
@@ -386,7 +420,12 @@ def render_frame_packet(
         and tile % (FOLD * 128) == 0
     )
     if prefolded:
-        rays = Rays(*[_lane_fold_perm(x, tile, FOLD) for x in rays])
+        jj, ii = _laned_pixel_coords(H, W, bh, bw, tile, FOLD)
+        rays, _ = rays_for_pixels(statics, params, jj, ii)
+    else:
+        rays, _ = generate_rays(statics, params)
+        if bh > 1:
+            rays = Rays(*[_swizzle(x, H, W, bh, bw) for x in rays])
     trace_batch = _make_trace(
         packed, params, statics, tile, interpret, interleave, max_steps,
         mesh, prefolded, leaf_mode, fused,

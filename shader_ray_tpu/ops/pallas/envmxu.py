@@ -114,9 +114,14 @@ def sample_env_mxu_mip(
     (raytracer.es.fs:146; GL LINEAR_MIPMAP_LINEAR, ray.cpp:499-510).
 
     ``atlas``: (2*base_h - 1, base_w*3) f32 — power-of-two mip levels
-    stacked vertically (pack.pack_env_atlas).  Per-ray level geometry
-    is ARITHMETIC (h_l = base_h >> l, off_l = 2*base_h - 2*h_l), so no
-    table gathers touch the axon XLA gather path.  LOD/trilinear math
+    stacked vertically, each X-UPSAMPLED to the base width
+    (pack.pack_env_atlas).  Per-ray level geometry is ARITHMETIC
+    (h_l = base_h >> l, off_l = 2*base_h - 2*h_l), so no table gathers
+    touch the axon XLA gather path.  Because every level shares the
+    base-grid column weights, the whole trilinear blend is ONE 4-hot
+    row matmul over the atlas — the row weights carry the y-bilinear
+    AND level-mix factors of both levels (vs two full-atlas matmuls
+    for the per-level-x formulation; 2x fewer MXU flops).  LOD math
     matches the wavefront engine (ops/envmap.py:105-125) except the
     chain stops at (1, w) instead of (1, 1) — one clamp level earlier,
     visible only for footprints wider than the whole image.  REPEAT
@@ -134,32 +139,70 @@ def sample_env_mxu_mip(
         jnp.log2(jnp.maximum(rho, 1e-12)), 0.0, float(n_levels - 1)
     )
     l0 = jnp.floor(lod).astype(jnp.int32)
-    frac = (lod - l0.astype(jnp.float32))[..., None]
+    frac = lod - l0.astype(jnp.float32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
 
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    # texel-major (x*3+c) -> channel-major (c*W + x) lanes; zero-padded
-    # lanes of the narrower levels stay zero in both layouts
+    # texel-major (x*3+c) -> channel-major (c*W + x) lanes
     atlas_flat = (
         atlas.reshape(rows, base_w, 3).transpose(0, 2, 1).reshape(rows, 3 * base_w)
     ).astype(dtype)
 
-    def level_coords(l):
+    # shared base-grid column coordinates (u wraps, REPEAT)
+    x = u * base_w - 0.5
+    x0 = jnp.floor(x)
+    fx = (x - x0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), base_w)
+    x1i = jnp.mod(x0i + 1, base_w)
+
+    def level_rows(l):
         h = jnp.right_shift(base_h, l)
-        w = jnp.right_shift(base_w, l)
         off = 2 * base_h - 2 * h
-        x = u * w.astype(jnp.float32) - 0.5
         y = (1.0 - v) * h.astype(jnp.float32) - 0.5
-        x0 = jnp.floor(x)
         y0 = jnp.floor(y)
-        fx = (x - x0)[:, None]
-        fy = (y - y0)[:, None]
-        x0i = jnp.mod(x0.astype(jnp.int32), w)
-        x1i = jnp.mod(x0i + 1, w)
+        fy = y - y0
         y0i = off + jnp.mod(y0.astype(jnp.int32), h)
         y1i = off + jnp.mod(y0.astype(jnp.int32) + 1, h)
-        return (x0i, x1i, y0i, y1i, fx, fy)
+        return y0i, y1i, fy
 
-    c0 = _bilinear_mxu(atlas_flat, rows, base_w, level_coords(l0), chunk, dtype)
-    l1 = jnp.minimum(l0 + 1, n_levels - 1)
-    c1 = _bilinear_mxu(atlas_flat, rows, base_w, level_coords(l1), chunk, dtype)
-    return c0 * (1.0 - frac) + c1 * frac
+    y00, y01, fy0 = level_rows(l0)
+    y10, y11, fy1 = level_rows(l1)
+    w00 = (1.0 - frac) * (1.0 - fy0)
+    w01 = (1.0 - frac) * fy0
+    w10 = frac * (1.0 - fy1)
+    w11 = frac * fy1
+
+    R = u.shape[0]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, base_w), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+
+    def sample_chunk(args):
+        y00c, y01c, y10c, y11c, w00c, w01c, w10c, w11c, x0c, x1c, fxc = args
+        wrow = (
+            (row_iota == y00c[:, None]).astype(jnp.float32) * w00c[:, None]
+            + (row_iota == y01c[:, None]).astype(jnp.float32) * w01c[:, None]
+            + (row_iota == y10c[:, None]).astype(jnp.float32) * w10c[:, None]
+            + (row_iota == y11c[:, None]).astype(jnp.float32) * w11c[:, None]
+        ).astype(dtype)
+        wcol = (
+            (col_iota == x0c[:, None]).astype(jnp.float32) * (1.0 - fxc)
+            + (col_iota == x1c[:, None]).astype(jnp.float32) * fxc
+        )
+        t1 = jnp.dot(wrow, atlas_flat, preferred_element_type=jnp.float32)
+        t1 = t1.reshape(-1, 3, base_w)
+        return jnp.einsum(
+            "rw,rcw->rc", wcol, t1, preferred_element_type=jnp.float32
+        )
+
+    coords = (y00, y01, y10, y11, w00, w01, w10, w11, x0i, x1i, fx)
+    if R <= chunk:
+        return sample_chunk(coords)
+
+    pad = (-R) % chunk
+    def padded(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0)
+        return a.reshape(-1, chunk, *a.shape[1:])
+
+    out = jax.lax.map(sample_chunk, tuple(padded(a) for a in coords))
+    return out.reshape(-1, 3)[:R]

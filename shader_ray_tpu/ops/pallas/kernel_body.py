@@ -225,7 +225,10 @@ def packet_kernel(
 
         g_next = jnp.where(anyhit, hit_link, miss_link)
         if any_hit:
-            # occlusion query: finish as soon as every active lane hit
+            # occlusion query: a lane that found ANY hit is done — zero
+            # its t so the t0 < t cull rejects every further box for it;
+            # finish as soon as every active lane hit
+            t = jnp.where(t < INFINITELY_FAR, 0.0, t)
             done = ~jnp.any(r["act"] & (t >= INFINITELY_FAR))
             g_next = jnp.where(done, -1, g_next)
         # budget exhaustion only counts if the walk wasn't finishing

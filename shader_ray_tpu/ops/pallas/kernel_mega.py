@@ -181,7 +181,12 @@ def mega_kernel(
         if enable_diffuse:
             lcos = jnp.maximum(0.0, wnx * Lx + wny * Ly + wnz * Lz)
             if cast_shadows:
-                cast = cast + jnp.sum(hit_ok.astype(i32))
+                # light-facing hits only: lcos == 0 lanes contribute no
+                # diffuse either way, so skipping their shadow rays is
+                # output-identical to the reference's unconditional
+                # cast (fs:454-464) — and ~halves shadow-walk work
+                sact = hit_ok & (lcos > 0.0)
+                cast = cast + jnp.sum(sact.astype(i32))
                 # object-space shadow ray: transformed fudged origin,
                 # shared object-space light direction (scalars)
                 sPx = m[0] * rPx + m[1] * rPy + m[2] * rPz + m[3]
@@ -195,7 +200,7 @@ def mega_kernel(
                 srays = dict(
                     Px=sPx, Py=sPy, Pz=sPz, Dx=oLx, Dy=oLy, Dz=oLz,
                     invx=1.0 / oLx, invy=1.0 / oLy, invz=1.0 / oLz,
-                    act=hit_ok, octant=soct,
+                    act=sact, octant=soct,
                 )
                 (_, _, _, _, st, _, _, _, _), = walker([srays], any_hit=True)
                 lit = st >= INFINITELY_FAR

@@ -302,7 +302,11 @@ def make_wide_walker(
             sp2 = jnp.where(do_push, sp2 + 1, sp2)
 
         if any_hit:
-            # occlusion query: finish as soon as every active lane hit
+            # occlusion query: a lane that found ANY hit is done — zero
+            # its t so the t0 < t cull rejects every further box for it
+            # (t0 is clamped >= 0), shrinking the packet's box/leaf
+            # union; finish when every active lane hit
+            t = jnp.where(t < INFINITELY_FAR, 0.0, t)
             done = ~jnp.any(r["act"] & (t >= INFINITELY_FAR))
             sp2 = jnp.where(done, 0, sp2)
 

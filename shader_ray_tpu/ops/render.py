@@ -99,36 +99,37 @@ class RenderStatics(NamedTuple):
         return RenderStatics(**base)
 
 
-def generate_rays(statics: RenderStatics, params: FrameParams) -> Rays:
-    """Per-pixel pinhole rays + seeded differentials.
-
-    Equivalent of raytracer.vs:39-58 (eye ray on the image plane,
-    transformed to world) and fs:621-625 (differential seeding from
-    the per-pixel `right`/`up` spacing vectors, ray.cpp:677-683).
-    Returns (H*W, 3) arrays, row-major, row 0 = top scanline.
-    """
+def rays_for_pixels(
+    statics: RenderStatics, params: FrameParams, jj: jnp.ndarray, ii: jnp.ndarray
+) -> tuple[Rays, tuple]:
+    """Pinhole rays + seeded differentials for arbitrary pixel index
+    arrays (``jj`` = row from top, ``ii`` = column; float32, any
+    shape).  Pure elementwise math, so callers may order pixels
+    however the downstream kernel wants (e.g. directly in packet
+    lane order, engine_pallas._laned_pixel_coords) with no transpose
+    passes.  Equivalent of raytracer.vs:39-58 + fs:621-625."""
     W, H = statics.width, statics.height
     ipw = params.image_plane_width
     aspect = H / (1.0 * W)  # ray.cpp:673
 
-    jj = jnp.arange(H, dtype=jnp.float32)[:, None]  # row, 0 = top
-    ii = jnp.arange(W, dtype=jnp.float32)[None, :]
     jx = 0.0 if params.pixel_jitter is None else params.pixel_jitter[0]
     jy = 0.0 if params.pixel_jitter is None else params.pixel_jitter[1]
     u = (ii + 0.5 + jx) / W
     v = 1.0 - (jj + 0.5 + jy) / H  # v=0 bottom (vs:43-45)
+    shape = jnp.broadcast_shapes(jj.shape, ii.shape)
     d_eye = jnp.stack(
         [
-            jnp.broadcast_to(ipw * (u - 0.5), (H, W)),
-            jnp.broadcast_to(ipw * (v - 0.5) * aspect, (H, W)),
-            jnp.full((H, W), -1.0),
+            jnp.broadcast_to(ipw * (u - 0.5), shape),
+            jnp.broadcast_to(ipw * (v - 0.5) * aspect, shape),
+            jnp.full(shape, -1.0),
         ],
         axis=-1,
     )
     d_eye = normalize(d_eye)
 
     P = jnp.broadcast_to(
-        transform_point(params.camera_matrix, jnp.zeros(3, jnp.float32)), (H, W, 3)
+        transform_point(params.camera_matrix, jnp.zeros(3, jnp.float32)),
+        shape + (3,),
     )
     D = transform_dir(params.camera_normal_matrix, d_eye)
     D = normalize(D)  # fs:619
@@ -148,10 +149,19 @@ def generate_rays(statics: RenderStatics, params: FrameParams) -> Rays:
     dDdy = up - dot(D, up)[..., None] * D
 
     flat = lambda x: x.reshape(-1, 3)
-    zeros = jnp.zeros((H * W, 3), jnp.float32)
+    zeros = jnp.zeros((int(np.prod(shape)), 3), jnp.float32)
     return Rays(
         P=flat(P), D=flat(D), dPdx=zeros, dDdx=flat(dDdx), dPdy=zeros, dDdy=flat(dDdy)
     ), (right, up)
+
+
+def generate_rays(statics: RenderStatics, params: FrameParams) -> Rays:
+    """Per-pixel pinhole rays + seeded differentials.
+    Returns (H*W, 3) arrays, row-major, row 0 = top scanline."""
+    W, H = statics.width, statics.height
+    jj = jnp.arange(H, dtype=jnp.float32)[:, None]  # row, 0 = top
+    ii = jnp.arange(W, dtype=jnp.float32)[None, :]
+    return rays_for_pixels(statics, params, jj, ii)
 
 
 def _interpolate_normal(scene: DeviceScene, which: jnp.ndarray, u, v):
@@ -222,7 +232,11 @@ def trace_rays(
             # approximate_diffuse (fs:447-472): Lambert + hard shadow
             lcos = jnp.maximum(0.0, dot(world_n, params.light_dir))
             if statics.cast_shadows:
-                cast = cast + jnp.sum(hit_ok.astype(jnp.int32))
+                # light-facing hits only (lcos == 0 lanes add no diffuse
+                # either way; output-identical to the reference's
+                # unconditional cast, fs:454-464)
+                sact = hit_ok & (lcos > 0.0)
+                cast = cast + jnp.sum(sact.astype(jnp.int32))
                 sP = transform_point(params.object_matrix, reflected.P)
                 sD = transform_dir(
                     params.object_normal_matrix,
@@ -235,7 +249,7 @@ def trace_rays(
                     max_bvh_iterations=statics.max_bvh_iterations,
                     max_leaf_tests=statics.max_leaf_tests,
                     mt_eps=statics.mt_eps,
-                    active=hit_ok,
+                    active=sact,
                 )
                 lit = shadow.t >= INFINITELY_FAR  # bad shadow hits shade
             else:
