@@ -313,6 +313,16 @@ def _lane_unfold_perm(x: jnp.ndarray, tile: int, fold: int) -> jnp.ndarray:
     return x.reshape(fold, nt, C, -1).transpose(1, 0, 2, 3).reshape(R, -1)
 
 
+def _prefold_ok(statics, tile, mesh) -> bool:
+    """Whether the frame can run in kernel-lane order end to end."""
+    return (
+        mesh is None
+        and statics.which not in (3,)
+        and (statics.height * statics.width) % tile == 0
+        and tile % (FOLD * 128) == 0
+    )
+
+
 def _laned_pixel_coords(H, W, bh, bw, tile, fold):
     """(row, col) float32 pixel indices for each kernel-lane-order ray
     slot: the closed-form composition of _swizzle and _lane_fold_perm.
@@ -403,8 +413,13 @@ def render_frame_packet(
     mesh=None,
     leaf_mode: str | None = None,
     fused: bool = True,
+    _laned_out: bool = False,
 ) -> jnp.ndarray:
-    """Full frame -> (H, W, 3), tonemapped unless disabled."""
+    """Full frame -> (H, W, 3), tonemapped unless disabled.
+
+    ``_laned_out`` (internal, progressive path): return the raw
+    kernel-lane-order (H*W, 3) color — the caller accumulates in lane
+    order and unfolds ONCE per batch instead of once per sample."""
     W, H = statics.width, statics.height
     bh, bw = _block_dims(H, W, tile)
     # kernel-lane ordering applied at ray GENERATION (closed-form pixel
@@ -413,12 +428,7 @@ def render_frame_packet(
     # shard slicing stays contiguous.  Only valid when the kernels fold
     # with FOLD sublanes (tile multiple of 1024 — the binary engine
     # folds differently for smaller tiles).
-    prefolded = (
-        mesh is None
-        and statics.which not in (3,)
-        and (H * W) % tile == 0
-        and tile % (FOLD * 128) == 0
-    )
+    prefolded = _prefold_ok(statics, tile, mesh)
     if prefolded:
         jj, ii = _laned_pixel_coords(H, W, bh, bw, tile, FOLD)
         rays, _ = rays_for_pixels(statics, params, jj, ii)
@@ -473,6 +483,8 @@ def render_frame_packet(
     else:
         color = trace_batch(rays)
 
+    if _laned_out and prefolded:
+        return color  # (H*W, 3) kernel-lane order, no tonemap
     if prefolded:
         color = _lane_unfold_perm(color, tile, FOLD)
     if bh > 1:
@@ -498,22 +510,32 @@ def render_progressive_packet(
     rendered at the given (K, 2) sub-pixel jitters in linear space,
     tonemap once.  One dispatch renders all K samples — the host
     round-trip (tens of ms on the axon tunnel) is paid once per batch
-    instead of once per sample (the host-loop analog lives in
-    App.render_progressive)."""
+    instead of once per batch (the host-loop analog lives in
+    App.render_progressive).  When the frame can run in kernel-lane
+    order, each sample accumulates LANED and the fold/swizzle
+    permutations run once per batch, not once per sample."""
     inner = statics._replace(do_tonemap=False)
+    W, H = statics.width, statics.height
+    laned = _prefold_ok(statics, tile, mesh)
 
     def step(acc, jit2):
         prm = params._replace(pixel_jitter=jit2)
         frame = render_frame_packet(
             packed, prm, inner, tile, interpret, interleave, max_steps,
-            mesh, fused=fused,
+            mesh, fused=fused, _laned_out=laned,
         )
         return acc + frame, None
 
     # scan with a running-sum carry: no (K, H, W, 3) stack materializes
-    acc0 = jnp.zeros((statics.height, statics.width, 3), jnp.float32)
+    acc0 = jnp.zeros((H * W, 3) if laned else (H, W, 3), jnp.float32)
     acc, _ = jax.lax.scan(step, acc0, jitters)
     acc = acc / jitters.shape[0]
+    if laned:
+        bh, bw = _block_dims(H, W, tile)
+        acc = _lane_unfold_perm(acc, tile, FOLD)
+        if bh > 1:
+            acc = _unswizzle(acc, H, W, bh, bw)
+        acc = acc.reshape(H, W, 3)
     if statics.do_tonemap:
         acc = tonemap_and_gamma(acc, statics.use_filmic)
     return acc

@@ -73,13 +73,18 @@ def leaf_tests(
         Mz = e1x * Dy - e1y * Dx
         det = e0x * Mx + e0y * My + e0z * Mz
         ok = jnp.abs(det) >= mt_eps
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        # fold the d-negation into the reciprocal (one fewer vector op)
+        minv_det = -1.0 / jnp.where(ok, det, 1.0)
+        inv_det = -minv_det
         Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
         Qx = Ty * e0z - Tz * e0y
         Qy = Tz * e0x - Tx * e0z
         Qz = Tx * e0y - Ty * e0x
-        d = -(e1x * Qx + e1y * Qy + e1z * Qz) * inv_det
-        ok = ok & (d <= t) & (d >= d_lo) & (d <= d_hi)
+        d = (e1x * Qx + e1y * Qy + e1z * Qz) * minv_det
+        ok = ok & (d <= t) & (d >= d_lo)
+        if not (isinstance(d_hi, float) and d_hi >= INFINITELY_FAR):
+            # redundant when the static bound exceeds the initial t
+            ok = ok & (d <= d_hi)
         u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
         ok = ok & (u >= 0.0) & (u <= 1.0)
         v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
@@ -88,13 +93,14 @@ def leaf_tests(
 
         t = jnp.where(take, d, t)
         which = jnp.where(take, tbase + k, which)
-        w0 = 1.0 - u - v
+        # delta-form interpolation: n0 + u*(n1-n0) + v*(n2-n0) — the
+        # deltas are scalar subs (free), 2 FMAs/component vs 5 ops
         n0x, n0y, n0z = e(9), e(10), e(11)
-        n1x, n1y, n1z = e(12), e(13), e(14)
-        n2x, n2y, n2z = e(15), e(16), e(17)
-        nx = jnp.where(take, n0x * w0 + n1x * u + n2x * v, nx)
-        ny = jnp.where(take, n0y * w0 + n1y * u + n2y * v, ny)
-        nz = jnp.where(take, n0z * w0 + n1z * u + n2z * v, nz)
+        d1x, d1y, d1z = e(12) - n0x, e(13) - n0y, e(14) - n0z
+        d2x, d2y, d2z = e(15) - n0x, e(16) - n0y, e(17) - n0z
+        nx = jnp.where(take, n0x + u * d1x + v * d2x, nx)
+        ny = jnp.where(take, n0y + u * d1y + v * d2y, ny)
+        nz = jnp.where(take, n0z + u * d1z + v * d2z, nz)
     return t, which, nx, ny, nz
 
 

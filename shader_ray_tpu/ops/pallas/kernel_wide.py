@@ -76,12 +76,13 @@ def leaf_tests_smem(
         Mz = e1x * Dy - e1y * Dx
         det = e0x * Mx + e0y * My + e0z * Mz
         ok = jnp.abs(det) >= mt_eps
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        minv_det = -1.0 / jnp.where(ok, det, 1.0)
+        inv_det = -minv_det
         Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
         Qx = Ty * e0z - Tz * e0y
         Qy = Tz * e0x - Tx * e0z
         Qz = Tx * e0y - Ty * e0x
-        d = -(e1x * Qx + e1y * Qy + e1z * Qz) * inv_det
+        d = (e1x * Qx + e1y * Qy + e1z * Qz) * minv_det
         ok = ok & (d <= t) & (d >= 0.0)
         u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
         ok = ok & (u >= 0.0) & (u <= 1.0)
@@ -91,10 +92,12 @@ def leaf_tests_smem(
 
         t = jnp.where(take, d, t)
         which = jnp.where(take, tbase + k, which)
-        w0 = 1.0 - u - v
-        nx = jnp.where(take, e(9) * w0 + e(12) * u + e(15) * v, nx)
-        ny = jnp.where(take, e(10) * w0 + e(13) * u + e(16) * v, ny)
-        nz = jnp.where(take, e(11) * w0 + e(14) * u + e(17) * v, nz)
+        n0x, n0y, n0z = e(9), e(10), e(11)
+        d1x, d1y, d1z = e(12) - n0x, e(13) - n0y, e(14) - n0z
+        d2x, d2y, d2z = e(15) - n0x, e(16) - n0y, e(17) - n0z
+        nx = jnp.where(take, n0x + u * d1x + v * d2x, nx)
+        ny = jnp.where(take, n0y + u * d1y + v * d2y, ny)
+        nz = jnp.where(take, n0z + u * d1z + v * d2z, nz)
         return (t, which, nx, ny, nz)
 
     t, which, nx, ny, nz = jax.lax.fori_loop(
