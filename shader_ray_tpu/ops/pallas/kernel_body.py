@@ -30,10 +30,25 @@ INFINITELY_FAR = 1.0e7   # fs:115
 RANGE_T1 = 1.0e8         # fs:463,491
 
 
+def safe_inv(d):
+    """Finite 1/d for slab math: a zero direction component maps to
+    1e30 (as if the ray crawled at 1e-30), keeping the wide walker's
+    folded dequant affine (A = s*inv, B = (o-P)*inv) NaN-free.  With
+    IEEE inf, ``qn*(s*inf) + (o-P)*inf`` is NaN whenever the two terms
+    disagree in sign — every slab test then compares false and the
+    walk dies after the root pop.  This silently killed shadow walks
+    for axis-aligned lights (the app default light is (0,0,1)): rays
+    reported unoccluded because the occlusion walk never descended.
+    The finite-huge form classifies inside/behind/ahead identically
+    (terms stay < 1e32, far below f32 overflow)."""
+    return 1.0 / jnp.where(d == 0.0, 1e-30, d)
+
+
 def leaf_tests(
     leaves_ref, r, lrow, tbase, lcount,
     mask, d_lo, d_hi, t, which, nx, ny, nz, mt_eps,
     leaf_slots: int = LEAF_SLOTS,
+    occlusion: bool = False,
 ):
     """Slot-parallel Moller-Trumbore over one leaf's <= 10 triangles
     (raytracer.es.fs:297-345 early-outs as lane masks) with at-accept
@@ -41,7 +56,11 @@ def leaf_tests(
     binary walk passes its slab boxhit; the wide walk passes the active
     mask — the leaf box contains its triangles, so the per-leaf slab
     clip is geometrically redundant); ``d_lo``/``d_hi`` bound the
-    accepted hit distance (scalars or per-ray vectors)."""
+    accepted hit distance (scalars or per-ray vectors).
+
+    ``occlusion``: any-hit mode — an accepted hit just zeroes the
+    lane's t (retiring it from all further box/leaf tests); the
+    which/normal bookkeeping (~15% of slot ops) is skipped."""
     grp = lrow // LEAVES_PER_GROUP
     sub = lrow % LEAVES_PER_GROUP
     base = pl.multiple_of(grp * GROUP_ROWS, GROUP_ROWS)
@@ -91,6 +110,9 @@ def leaf_tests(
         ok = ok & (v >= 0.0) & (u + v <= 1.0)
         take = ok & mask & (k < lcount)
 
+        if occlusion:
+            t = jnp.where(take, 0.0, t)
+            continue
         t = jnp.where(take, d, t)
         which = jnp.where(take, tbase + k, which)
         # delta-form interpolation: n0 + u*(n1-n0) + v*(n2-n0) — the
@@ -129,7 +151,7 @@ def make_walk_rays(P_ref, D_ref, act_ref, fold, walks, lane_chunk):
         )
         rays.append(dict(
             Px=Px, Py=Py, Pz=Pz, Dx=Dx, Dy=Dy, Dz=Dz,
-            invx=1.0 / Dx, invy=1.0 / Dy, invz=1.0 / Dz,
+            invx=safe_inv(Dx), invy=safe_inv(Dy), invz=safe_inv(Dz),
             act=act, octant=octant,
         ))
     return rays
@@ -225,6 +247,7 @@ def packet_kernel(
             lambda: leaf_tests(
                 leaves_ref, r, lrow_s, tribase_ref[lrow_s], lcount,
                 boxhit, t0, t1, t, which, nx, ny, nz, mt_eps,
+                occlusion=any_hit,
             ),
             lambda: (t, which, nx, ny, nz),
         )

@@ -34,7 +34,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from shader_ray_tpu.ops.pallas.kernel_body import INFINITELY_FAR
+from shader_ray_tpu.ops.pallas.kernel_body import INFINITELY_FAR, safe_inv
 from shader_ray_tpu.ops.pallas.kernel_wide import make_wide_walker
 
 # uniform table layout (f32 SMEM, see engine_pallas._pack_uniforms)
@@ -126,6 +126,9 @@ def mega_kernel(
     mod = [ones, ones, ones]
     badv = jnp.zeros((F, C), bool)
     cast = jnp.zeros((), i32)
+    # per-phase (steps, leaf visits) — bounce walks at even slots,
+    # shadow walks at odd; packet_shade.ShadeResult.stats decodes
+    phase_stats = []
 
     def vec_rays(px, py, pz, dx, dy, dz, a):
         af = a.astype(f32)
@@ -136,7 +139,7 @@ def mega_kernel(
         )
         return dict(
             Px=px, Py=py, Pz=pz, Dx=dx, Dy=dy, Dz=dz,
-            invx=1.0 / dx, invy=1.0 / dy, invz=1.0 / dz,
+            invx=safe_inv(dx), invy=safe_inv(dy), invz=safe_inv(dz),
             act=a, octant=octant,
         )
 
@@ -153,6 +156,7 @@ def mega_kernel(
         (sp, steps, leafs, badw, t, which, nx, ny, nz), = walker(
             [vec_rays(oPx, oPy, oPz, oDx, oDy, oDz, act)], any_hit=False
         )
+        phase_stats.append((steps, leafs))
         hit_ok = act & ~badw & (t < INFINITELY_FAR)
         badv = badv | (act & badw)
 
@@ -199,10 +203,14 @@ def mega_kernel(
                 )
                 srays = dict(
                     Px=sPx, Py=sPy, Pz=sPz, Dx=oLx, Dy=oLy, Dz=oLz,
-                    invx=1.0 / oLx, invy=1.0 / oLy, invz=1.0 / oLz,
+                    invx=safe_inv(oLx), invy=safe_inv(oLy),
+                    invz=safe_inv(oLz),
                     act=sact, octant=soct,
                 )
-                (_, _, _, _, st, _, _, _, _), = walker([srays], any_hit=True)
+                (_, s_steps, s_leafs, _, st, _, _, _, _), = walker(
+                    [srays], any_hit=True
+                )
+                phase_stats.append((s_steps, s_leafs))
                 lit = st >= INFINITELY_FAR
                 irr = lcos * lit.astype(f32)
             else:
@@ -246,8 +254,13 @@ def mega_kernel(
         gyo_ref[2 * F :, :] = gyz
     bad_ref[:, :] = badv.astype(i32)
 
-    # per-tile cast-ray count, composed as a vector (scalar VMEM
-    # stores unsupported): position (0, 0) carries the count
+    # per-tile counters, composed as a vector (scalar VMEM stores
+    # unsupported): lane 0 = cast rays; lanes 1+2p / 2+2p = phase p's
+    # walk steps / leaf visits (bounce walks at even p, shadows odd)
     ri = jax.lax.broadcasted_iota(i32, (8, 128), 0)
     ci = jax.lax.broadcasted_iota(i32, (8, 128), 1)
-    cnt_ref[:, :] = jnp.where((ri == 0) & (ci == 0), cast, 0)
+    cnt = jnp.where((ri == 0) & (ci == 0), cast, 0)
+    for p, (steps, leafs) in enumerate(phase_stats):
+        cnt = jnp.where((ri == 0) & (ci == 1 + 2 * p), steps, cnt)
+        cnt = jnp.where((ri == 0) & (ci == 2 + 2 * p), leafs, cnt)
+    cnt_ref[:, :] = cnt

@@ -53,6 +53,7 @@ GROUP_ROWS = 16
 
 def leaf_tests_smem(
     buf, w, r, sub, tbase, lcount, gate, t, which, nx, ny, nz, mt_eps,
+    occlusion: bool = False,
 ):
     """Moller-Trumbore over one leaf's triangles with vertex data read
     as SMEM scalars from the DMA'd leaf-group buffer ``buf`` (rows
@@ -90,6 +91,8 @@ def leaf_tests_smem(
         ok = ok & (v >= 0.0) & (u + v <= 1.0)
         take = ok & gate
 
+        if occlusion:
+            return (jnp.where(take, 0.0, t), which, nx, ny, nz)
         t = jnp.where(take, d, t)
         which = jnp.where(take, tbase + k, which)
         n0x, n0y, n0z = e(9), e(10), e(11)
@@ -278,6 +281,7 @@ def make_wide_walker(
                     t_, which_, nx_, ny_, nz_ = leaf_tests_smem(
                         leafbuf_ref, w, r, sub, tb, cnt, gate,
                         t_, which_, nx_, ny_, nz_, mt_eps,
+                        occlusion=any_hit,
                     )
                 else:
                     t_, which_, nx_, ny_, nz_ = leaf_tests(
@@ -285,6 +289,7 @@ def make_wide_walker(
                         gate, 0.0, RANGE_T1,
                         t_, which_, nx_, ny_, nz_, mt_eps,
                         leaf_slots=leaf_slots,
+                        occlusion=any_hit,
                     )
                 return (lb & ~(1 << p), leafs_ + 1, t_, which_, nx_, ny_, nz_)
 

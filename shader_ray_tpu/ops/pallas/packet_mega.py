@@ -29,6 +29,10 @@ class ShadeResult(NamedTuple):
     gy: jnp.ndarray | None    # (R, 3) final dDdy
     bad: jnp.ndarray          # (R,) bool walk-budget overflow
     cast: jnp.ndarray         # () i32 rays actually cast
+    stats: jnp.ndarray        # (n_tiles, 13) i32 per-tile counters:
+                              # col 0 cast; cols 1+2p / 2+2p = phase
+                              # p's walk steps / leaf visits (bounce
+                              # walks even p, shadow walks odd p)
 
 
 def packet_shade(
@@ -207,7 +211,7 @@ def packet_shade(
     unstack = lambda v3: jnp.stack(
         [un(v3[0:fold]), un(v3[fold : 2 * fold]), un(v3[2 * fold :])], axis=-1
     )
-    cast = jnp.sum(cnt[0].reshape(n_tiles, 128)[:, 0])
+    per_tile = cnt[0].reshape(n_tiles, 128)[:, :13]
     return ShadeResult(
         acc=unstack(acc3),
         mod=unstack(mod3),
@@ -215,5 +219,6 @@ def packet_shade(
         gx=unstack(gxo3) if with_grads else None,
         gy=unstack(gyo3) if with_grads else None,
         bad=un(bad) > 0,
-        cast=cast,
+        cast=jnp.sum(per_tile[:, 0]),
+        stats=per_tile,
     )
