@@ -31,8 +31,9 @@ class ShadeResult(NamedTuple):
     cast: jnp.ndarray         # () i32 rays actually cast
     stats: jnp.ndarray        # (n_tiles, 13) i32 per-tile counters:
                               # col 0 cast; cols 1+2p / 2+2p = phase
-                              # p's walk steps / leaf visits (bounce
-                              # walks even p, shadow walks odd p)
+                              # p's walk steps / leaf visits, in kernel
+                              # phase order (bounce, then its shadow
+                              # walk when shadows+diffuse are enabled)
 
 
 def packet_shade(
