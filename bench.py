@@ -51,15 +51,19 @@ def build_scene_data():
     from shader_ray_tpu.models.world import get_shader_data, make_world
     from shader_ray_tpu.utils.cache import cached_scene_data
 
+    # BENCH_TRIS scales the scene (e.g. 340000 exercises the VMEM
+    # node-row large-scene tier); default is the canonical bunny-class
+    tris = int(os.environ.get("BENCH_TRIS", "69000"))
+
     def builder():
-        pos, _ = bunny_class_scene(69000)
+        pos, _ = bunny_class_scene(tris)
         ts = TriangleSet.from_arrays(pos)
         world = make_world(ts)
         return get_shader_data(world)
 
     cfg = get_config()
     key = (
-        "bench-bunny-class-69k"
+        f"bench-bunny-class-{tris // 1000}k"
         f"-l{cfg.bvh_leaf_max}-d{cfg.bvh_max_depth}"
     )
     data = cached_scene_data(key, builder, verbose=True)

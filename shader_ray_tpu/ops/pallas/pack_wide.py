@@ -24,9 +24,12 @@ than VMEM blocks + cross-lane broadcasts on this hardware):
                               engine's per-octant hit/miss link banks,
                               reference world.cpp:215-278)
   masks_smem (Nw,) i32        bits 0-7: child k is populated; bits
-                              8-15: child k is a leaf (child space —
-                              the kernel permutes through the octant
-                              order at run time)
+                              8-15: child k is a leaf; bits 16-23:
+                              child k is a LARGE leaf (count >
+                              SMALL_LEAF_MAX — the kernel runs a
+                              longer static slot unroll for these)
+                              (child space — the kernel permutes
+                              through the octant order at run time)
   leaves / tribase_smem       shared with the binary engine (pack.py)
 
 Node-count limits: wide node indices must fit 26 bits (vs the binary
@@ -51,6 +54,9 @@ from shader_ray_tpu.ops.pallas.pack import (
 )
 
 WIDE = 8          # children per wide node
+SMALL_LEAF_MAX = 7  # leaf children with <= this many triangles run the
+                    # short statically-unrolled leaf test (kernel_wide
+                    # splits the per-step leaf bit-scan by class)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -220,6 +226,8 @@ def pack_scene_wide(
                     (int(counts[b]) << 26) | int(leaf_row_of[b])
                 )
                 masks[w] |= 1 << (8 + k)
+                if int(counts[b]) > SMALL_LEAF_MAX:
+                    masks[w] |= 1 << (16 + k)
             else:
                 cmeta[w * WIDE + k] = wid_of_binary[b]
 

@@ -257,3 +257,22 @@ def test_shadow_walk_axis_aligned_light():
     for got in (fu, un):
         bad = np.abs(got - ref).max(axis=-1) > 2e-2
         assert bad.mean() < 0.02, f"{bad.mean():.4f} of pixels disagree"
+
+
+def test_fused_vmem_node_tier(sphere):
+    """The fused megakernel over the large-scene node tier (VMEM rows
+    DMA'd to SMEM scratch per step) matches the SMEM-table tier."""
+    env = procedural_sky(512)
+    a = pack_scene_wide(sphere, env, env_size=(256, 512), node_src="smem")
+    b = pack_scene_wide(sphere, env, env_size=(256, 512), node_src="vmem")
+    statics = RenderStatics(width=40, height=32)
+    params = _params()
+    fa = np.asarray(
+        render_frame_packet(a, params, statics, tile=1024,
+                            interpret=True, fused=True)
+    )
+    fb = np.asarray(
+        render_frame_packet(b, params, statics, tile=1024,
+                            interpret=True, fused=True)
+    )
+    np.testing.assert_array_equal(fa, fb)
