@@ -67,6 +67,9 @@ class Config:
                                      # pallas_call (kernel_mega); wide only
     packet_interleave: int = 1       # interleaved sub-packet walks per step
                                      # (unfused kernels only)
+    walk_pops: int = 4               # stack entries popped per walk step
+                                     # (1/2/4); one scalar sync serves all
+                                     # their children (4 measured best)
     packet_max_steps: int = 0        # packet walk budget; 0 = 2*nodes+2
     debug_nans: bool = False         # jax_debug_nans (SURVEY 5.2 sanitizer)
     validate_scene: bool = False     # structural index-bounds sanitizer
@@ -96,6 +99,7 @@ class Config:
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)
         c.packet_fused = _env_int("SRT_FUSED", int(c.packet_fused)) != 0
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
+        c.walk_pops = _env_int("SRT_POPS", c.walk_pops)
         c.packet_max_steps = _env_int("SRT_MAX_STEPS", c.packet_max_steps)
         c.debug_nans = os.environ.get("SRT_DEBUG_NANS") is not None
         c.validate_scene = os.environ.get("SRT_VALIDATE") is not None

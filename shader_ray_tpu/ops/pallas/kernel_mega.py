@@ -74,6 +74,7 @@ def mega_kernel(
     leaf_mode: str = "scalar",
     leaf_slots: int = 10,
     node_src: str = "smem",
+    pops: int = 1,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -96,7 +97,7 @@ def mega_kernel(
         n_wide=n_wide, max_steps=max_steps, mt_eps=mt_eps, fold=F,
         walks=1, lane_width=C, stack_depth=stack_depth,
         box_quant=box_quant, leaf_mode=leaf_mode, leaf_slots=leaf_slots,
-        node_src=node_src,
+        node_src=node_src, pops=pops,
     )
 
     # --- frame uniforms: SMEM scalars (free splats) ---

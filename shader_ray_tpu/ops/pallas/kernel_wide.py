@@ -136,6 +136,8 @@ def make_wide_walker(
     leaf_slots_small: int = SMALL_LEAF_MAX,  # short unroll for the
                              # small-leaf class (pack_wide mask bits)
     node_src: str = "smem",  # "smem" tables | "vmem" rows DMA'd per step
+    pops: int = 1,           # stack entries popped per step (1/2/4):
+                             # one scalar sync serves all their children
 ):
     """Build a reusable short-stack walker closed over the scene refs
     and scratch.  The returned ``run(rays, any_hit)`` traces the given
@@ -149,6 +151,9 @@ def make_wide_walker(
     CW = lane_width
     SD = stack_depth
     ox, oy, oz, sx, sy, sz = box_quant
+    assert pops in (1, 2, 4)
+    if node_src == "vmem":
+        pops = 1  # the node-row DMA scratch holds one group per walk
 
     def prepare(r):
         # fold the box dequant affine into per-walk ray vectors:
@@ -177,72 +182,90 @@ def make_wide_walker(
     def walk_step(w, st, r, any_hit):
         sp, steps, leafs, badw, t, which, nx, ny, nz = st
         alive = sp > 0
-        spc = jnp.maximum(sp - 1, 0)
-        g = stack_ref[w * SD + spc]
-        g = jnp.clip(g, 0, n_wide - 1)  # dead-walk fake-step safety
+        # pop up to ``pops`` stack entries per step: one vector slab
+        # pass tests all their children and ONE or-tree/scalar sync
+        # serves them all — the per-step serial chain (reduce ->
+        # extract -> pushes -> next pop) amortizes over pops nodes.
+        # When the stack holds fewer, the missing slots re-read a live
+        # entry with their valid mask zeroed (pure fake work, no bits).
+        npop = jnp.minimum(sp, pops)
+        spc = jnp.maximum(sp - npop, 0)
 
-        if node_src == "vmem":
-            # large-scene tier: the node's 128-lane row lives in VMEM;
-            # DMA its 8-node group into SMEM scratch, then read scalars
-            base = pl.multiple_of((g // 8) * 8, 8)
-            ndma = pltpu.make_async_copy(
-                nodes_ref.at[pl.ds(base, 8), :],
-                nodebuf_ref.at[pl.ds(w * 8, 8), :],
-                nsems_ref.at[w],
-            )
-            ndma.start()
-            ndma.wait()
-            nrow = w * 8 + (g % 8)
-            box_rd = lambda ck, ax: nodebuf_ref[nrow, ck * 3 + ax]
-            cmeta_rd = lambda ck: nodebuf_ref[nrow, 24 + ck]
-            orderw = nodebuf_ref[nrow, 32 + r["octant"]]
-            masks = nodebuf_ref[nrow, 40]
-        else:
-            box_rd = lambda ck, ax: boxes_ref[(g * WIDE + ck) * 3 + ax]
-            cmeta_rd = lambda ck: cmeta_ref[g * WIDE + ck]
-            orderw = order_ref[g * WIDE + r["octant"]]
-            masks = masks_ref[g]
-        validm = masks & 0xFF
-        leafm = (masks >> 8) & 0xFF
-        largem = (masks >> 16) & 0xFF
+        nodes = []
+        for j in range(pops):
+            idx = jnp.maximum(sp - 1 - j, 0)
+            g = jnp.clip(stack_ref[w * SD + idx], 0, n_wide - 1)
+            if node_src == "vmem":
+                # large-scene tier (pops == 1): the node's 128-lane row
+                # lives in VMEM; DMA its 8-node group to SMEM scratch
+                base = pl.multiple_of((g // 8) * 8, 8)
+                ndma = pltpu.make_async_copy(
+                    nodes_ref.at[pl.ds(base, 8), :],
+                    nodebuf_ref.at[pl.ds(w * 8, 8), :],
+                    nsems_ref.at[w],
+                )
+                ndma.start()
+                ndma.wait()
+                nrow = w * 8 + (g % 8)
+                box_rd = lambda ck, ax, nrow=nrow: nodebuf_ref[nrow, ck * 3 + ax]
+                cmeta_rd = lambda ck, nrow=nrow: nodebuf_ref[nrow, 24 + ck]
+                orderw = nodebuf_ref[nrow, 32 + r["octant"]]
+                masks = nodebuf_ref[nrow, 40]
+            else:
+                box_rd = lambda ck, ax, g=g: boxes_ref[(g * WIDE + ck) * 3 + ax]
+                cmeta_rd = lambda ck, g=g: cmeta_ref[g * WIDE + ck]
+                orderw = order_ref[g * WIDE + r["octant"]]
+                masks = masks_ref[g]
+            valid = jnp.int32(1) if pops == 1 else (j < npop).astype(i32)
+            nodes.append(dict(
+                g=g, box_rd=box_rd, cmeta_rd=cmeta_rd, orderw=orderw,
+                masks=masks, valid=valid,
+            ))
 
-        # slab-test the 8 children in octant order; bit p of the lane
-        # mask = this ray hits the child at octant position p
+        # slab-test each node's 8 children in octant order; bit
+        # j*8 + p of the lane mask = this ray hits node j's child at
+        # octant position p
         bitsvec = jnp.zeros((F, CW), i32)
-        cks = []
+        cks = []  # flat (node j, child ck) scalar ids, index j*8 + p
         leaf_perm = jnp.int32(0)
         large_perm = jnp.int32(0)
-        for p in range(WIDE):
-            ck = (orderw >> (3 * p)) & 7
-            cks.append(ck)
-            leaf_perm = leaf_perm | (((leafm >> ck) & 1) << p)
-            large_perm = large_perm | (((largem >> ck) & 1) << p)
-            b0 = box_rd(ck, 0)
-            b1 = box_rd(ck, 1)
-            b2 = box_rd(ck, 2)
-            qnx = ((b0 >> 16) & 0xFFFF).astype(f32)
-            qxx = (b0 & 0xFFFF).astype(f32)
-            qny = ((b1 >> 16) & 0xFFFF).astype(f32)
-            qxy = (b1 & 0xFFFF).astype(f32)
-            qnz = ((b2 >> 16) & 0xFFFF).astype(f32)
-            qxz = (b2 & 0xFFFF).astype(f32)
-            tax = qnx * r["Ax"] + r["Bx"]
-            tbx = qxx * r["Ax"] + r["Bx"]
-            tay = qny * r["Ay"] + r["By"]
-            tby = qxy * r["Ay"] + r["By"]
-            taz = qnz * r["Az"] + r["Bz"]
-            tbz = qxz * r["Az"] + r["Bz"]
-            t0 = jnp.maximum(
-                jnp.maximum(jnp.minimum(tax, tbx), jnp.minimum(tay, tby)),
-                jnp.maximum(jnp.minimum(taz, tbz), 0.0),
-            )
-            t1 = jnp.minimum(
-                jnp.minimum(jnp.maximum(tax, tbx), jnp.maximum(tay, tby)),
-                jnp.minimum(jnp.maximum(taz, tbz), RANGE_T1),
-            )
-            boxhit = (t0 < t1) & (t0 < t) & r["act"]
-            vbit = ((validm >> ck) & 1) << p  # scalar 0 or 1<<p
-            bitsvec = bitsvec | jnp.where(boxhit, vbit, 0)
+        for j, nd in enumerate(nodes):
+            validm = (nd["masks"] & 0xFF) * nd["valid"]
+            leafm = (nd["masks"] >> 8) & 0xFF
+            largem = (nd["masks"] >> 16) & 0xFF
+            orderw = nd["orderw"]
+            for p in range(WIDE):
+                bit = j * WIDE + p
+                ck = (orderw >> (3 * p)) & 7
+                cks.append(ck)
+                leaf_perm = leaf_perm | (((leafm >> ck) & 1) << bit)
+                large_perm = large_perm | (((largem >> ck) & 1) << bit)
+                b0 = nd["box_rd"](ck, 0)
+                b1 = nd["box_rd"](ck, 1)
+                b2 = nd["box_rd"](ck, 2)
+                qnx = ((b0 >> 16) & 0xFFFF).astype(f32)
+                qxx = (b0 & 0xFFFF).astype(f32)
+                qny = ((b1 >> 16) & 0xFFFF).astype(f32)
+                qxy = (b1 & 0xFFFF).astype(f32)
+                qnz = ((b2 >> 16) & 0xFFFF).astype(f32)
+                qxz = (b2 & 0xFFFF).astype(f32)
+                tax = qnx * r["Ax"] + r["Bx"]
+                tbx = qxx * r["Ax"] + r["Bx"]
+                tay = qny * r["Ay"] + r["By"]
+                tby = qxy * r["Ay"] + r["By"]
+                taz = qnz * r["Az"] + r["Bz"]
+                tbz = qxz * r["Az"] + r["Bz"]
+                t0 = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tax, tbx), jnp.minimum(tay, tby)),
+                    jnp.maximum(jnp.minimum(taz, tbz), 0.0),
+                )
+                t1 = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tax, tbx), jnp.maximum(tay, tby)),
+                    jnp.minimum(jnp.maximum(taz, tbz), RANGE_T1),
+                )
+                boxhit = (t0 < t1) & (t0 < t) & r["act"]
+                vbit = ((validm >> ck) & 1) << bit  # scalar 0 or 1<<bit
+                bitsvec = bitsvec | jnp.where(boxhit, vbit, 0)
 
         bits = or_reduce_bits(bitsvec)
         bits = jnp.where(alive, bits, 0)
@@ -263,12 +286,27 @@ def make_wide_walker(
             def make_lbody(slots):
                 def lbody(s):
                     lb, leafs_, t_, which_, nx_, ny_, nz_ = s
-                    # count-trailing-zeros of the 8-bit mask
-                    p = jnp.where((lb & 0xF) != 0, 0, 4)
-                    p = p + jnp.where(((lb >> p) & 0x3) != 0, 0, 2)
-                    p = p + jnp.where(((lb >> p) & 0x1) != 0, 0, 1)
-                    ck = (orderw >> (3 * p)) & 7
-                    meta = cmeta_rd(ck)
+                    # count-trailing-zeros of the (8*pops)-bit mask
+                    p = jnp.int32(0)
+                    half = (WIDE * pops) // 2
+                    while half >= 1:
+                        m = (1 << half) - 1
+                        p = p + jnp.where(((lb >> p) & m) != 0, 0, half)
+                        half //= 2
+                    # select the owning popped node's order/meta
+                    orderw_sel = nodes[0]["orderw"]
+                    g_sel = nodes[0]["g"]
+                    for j in range(1, pops):
+                        is_j = (p // WIDE) == j
+                        orderw_sel = jnp.where(
+                            is_j, nodes[j]["orderw"], orderw_sel
+                        )
+                        g_sel = jnp.where(is_j, nodes[j]["g"], g_sel)
+                    ck = (orderw_sel >> (3 * (p % WIDE))) & 7
+                    if node_src == "vmem":
+                        meta = nodes[0]["cmeta_rd"](ck)
+                    else:
+                        meta = cmeta_ref[g_sel * WIDE + ck]
                     cnt = (meta >> 26) & 0x1F
                     lrow = meta & 0x3FFFFFF
                     tb = tribase_ref[lrow]
@@ -318,17 +356,24 @@ def make_wide_walker(
                 (leafbits, leafs, t, which, nx, ny, nz),
             )
 
-        # pass 2, far-to-near: push hit internal children (nearest on top)
+        # pass 2, far-to-near: push hit internal children (nearest on
+        # top — node 0 was the stack top, so its children push LAST).
+        # A push past the stack bound flags the walk bad instead of
+        # corrupting scratch (the bound scales with pops; see
+        # packet_wide/packet_mega allocation).
         sp2 = spc
-        for p in range(WIDE - 1, -1, -1):
-            do_push = ((pushbits >> p) & 1) > 0
-            meta_p = cmeta_rd(cks[p])
+        for j in range(pops - 1, -1, -1):
+            for p in range(WIDE - 1, -1, -1):
+                bit = j * WIDE + p
+                do_push = (((pushbits >> bit) & 1) > 0) & (sp2 < SD)
+                badw = badw | ((((pushbits >> bit) & 1) > 0) & (sp2 >= SD))
+                meta_p = nodes[j]["cmeta_rd"](cks[bit])
 
-            @pl.when(do_push)
-            def _(sp2=sp2, meta_p=meta_p):
-                stack_ref[w * SD + sp2] = meta_p
+                @pl.when(do_push)
+                def _(sp2=sp2, meta_p=meta_p):
+                    stack_ref[w * SD + sp2] = meta_p
 
-            sp2 = jnp.where(do_push, sp2 + 1, sp2)
+                sp2 = jnp.where(do_push, sp2 + 1, sp2)
 
         if any_hit:
             # occlusion query: a lane that found ANY hit is done — zero
@@ -339,7 +384,7 @@ def make_wide_walker(
             done = ~jnp.any(r["act"] & (t >= INFINITELY_FAR))
             sp2 = jnp.where(done, 0, sp2)
 
-        steps2 = steps + alive.astype(i32)
+        steps2 = steps + npop
         overflow = alive & (steps2 >= max_steps) & (sp2 > 0)
         badw = badw | overflow
         sp2 = jnp.where(overflow, 0, sp2)
@@ -411,6 +456,7 @@ def wide_kernel(
     leaf_mode: str = "dma",
     leaf_slots: int = 10,
     node_src: str = "smem",
+    pops: int = 1,
 ):
     i32 = jnp.int32
     F = fold
@@ -432,7 +478,7 @@ def wide_kernel(
         n_wide=n_wide, max_steps=max_steps, mt_eps=mt_eps, fold=F,
         walks=W, lane_width=CW, stack_depth=stack_depth,
         box_quant=box_quant, leaf_mode=leaf_mode, leaf_slots=leaf_slots,
-        node_src=node_src,
+        node_src=node_src, pops=pops,
     )
     states = walker(rays, any_hit=any_hit)
 

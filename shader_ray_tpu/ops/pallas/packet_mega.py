@@ -19,6 +19,7 @@ from jax.experimental.pallas import tpu as pltpu
 from shader_ray_tpu.ops.pallas.kernel_mega import UNI_SIZE, mega_kernel
 from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
 from shader_ray_tpu.ops.pallas.packet import FOLD, MT_EPSILON, _fold, _unfold
+from shader_ray_tpu.ops.pallas.packet_wide import _default_pops
 
 
 class ShadeResult(NamedTuple):
@@ -55,6 +56,7 @@ def packet_shade(
     leaf_mode: str = "scalar",
     interpret: bool = False,
     prefolded: bool = False,
+    pops: int | None = None,
 ) -> ShadeResult:
     """Fused bounce pipeline over a world-space ray batch.
 
@@ -111,6 +113,12 @@ def packet_shade(
 
     if max_steps is None:
         max_steps = scene.n_wide + 2
+    pops = pops if pops is not None else _default_pops()
+    if scene.node_src == "vmem":
+        pops = 1  # node-row DMA scratch holds one group per walk
+    # multi-pop advances up to ``pops`` disjoint branches at once, so
+    # the short-stack worst case scales by pops
+    stack_depth = scene.stack_depth * pops
 
     kernel = functools.partial(
         mega_kernel,
@@ -119,7 +127,7 @@ def packet_shade(
         mt_eps=mt_eps,
         tile=tile,
         fold=fold,
-        stack_depth=scene.stack_depth,
+        stack_depth=stack_depth,
         box_quant=scene.box_quant,
         bounce_count=bounce_count,
         cast_shadows=cast_shadows,
@@ -129,6 +137,7 @@ def packet_shade(
         leaf_mode=leaf_mode,
         leaf_slots=scene.max_count,
         node_src=scene.node_src,
+        pops=pops,
     )
 
     full = lambda shape: pl.BlockSpec(
@@ -188,7 +197,7 @@ def packet_shade(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((scene.stack_depth,), jnp.int32),
+            pltpu.SMEM((stack_depth,), jnp.int32),
             pltpu.SMEM((16, scene.leaves.shape[1]), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
             pltpu.SMEM((8, 128), jnp.int32),

@@ -27,6 +27,12 @@ from shader_ray_tpu.ops.pallas.packet import (
 )
 
 
+def _default_pops() -> int:
+    from shader_ray_tpu.config import get_config
+
+    return get_config().walk_pops
+
+
 def packet_trace_wide(
     scene: PackedSceneWide,
     P: jnp.ndarray,
@@ -41,6 +47,7 @@ def packet_trace_wide(
     interpret: bool = False,
     leaf_mode: str = "scalar",
     prefolded: bool = False,
+    pops: int | None = None,
 ) -> PacketHit:
     """Trace a batch of object-space rays.  P, D: (R, 3) float32.
     ``tile`` must be a multiple of 1024 (8 sublanes x 128 lanes).
@@ -88,6 +95,12 @@ def packet_trace_wide(
         # a tree walk pops each wide node at most once
         max_steps = scene.n_wide + 2
 
+    pops = pops if pops is not None else _default_pops()
+    if scene.node_src == "vmem":
+        pops = 1  # node-row DMA scratch holds one group per walk
+    # multi-pop advances up to ``pops`` disjoint branches at once, so
+    # the short-stack worst case scales by pops
+    stack_depth = scene.stack_depth * pops
     walks = max(1, min(interleave, C // 128))
     while C % walks:
         walks -= 1
@@ -106,13 +119,14 @@ def packet_trace_wide(
         tile=tile,
         fold=fold,
         walks=walks,
-        stack_depth=scene.stack_depth,
+        stack_depth=stack_depth,
         box_quant=scene.box_quant,
         any_hit=any_hit,
         with_stats=with_stats,
         leaf_mode=leaf_mode,
         leaf_slots=scene.max_count,
         node_src=scene.node_src,
+        pops=pops,
     )
 
     full = lambda shape: pl.BlockSpec(
@@ -160,7 +174,7 @@ def packet_trace_wide(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.SMEM((walks * scene.stack_depth,), jnp.int32),
+            pltpu.SMEM((walks * stack_depth,), jnp.int32),
             pltpu.SMEM((walks * 16, scene.leaves.shape[1]), jnp.float32),
             pltpu.SemaphoreType.DMA((walks,)),
             pltpu.SMEM((walks * 8, 128), jnp.int32),

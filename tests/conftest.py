@@ -5,6 +5,11 @@ invariance is validated on xla_force_host_platform_device_count)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the production multi-pop walk default (walk_pops=4) multiplies the
+# per-step math the Pallas INTERPRETER executes eagerly, roughly
+# doubling suite wall time; tests pin pops=1 and cover 2/4 explicitly
+# (test_packet_wide.test_multi_pop_matches_perlane)
+os.environ.setdefault("SRT_POPS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

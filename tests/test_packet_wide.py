@@ -220,3 +220,29 @@ def test_vmem_node_tier_matches_smem(bumpy, rng):
     gb = packet_trace_wide(b, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True)
     np.testing.assert_array_equal(np.asarray(ga.t), np.asarray(gb.t))
     np.testing.assert_array_equal(np.asarray(ga.which), np.asarray(gb.which))
+
+
+@pytest.mark.parametrize("pops", [1, 2, 4])
+def test_multi_pop_matches_perlane(bumpy, rng, pops):
+    """Multi-pop walk steps (one scalar sync serving 2/4 popped nodes)
+    trace identically to the per-lane reference; the short-stack
+    scratch scales by pops (disjoint branches advance together)."""
+    data = bumpy
+    scene = upload_scene(data, procedural_sky(64))
+    packed = pack_scene_wide(data, procedural_sky(64))
+    P, D = _random_rays(rng, 1024)
+    ref = traverse(scene, jnp.asarray(P), jnp.asarray(D))
+    got = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D), tile=1024,
+        interpret=True, pops=pops,
+    )
+    np.testing.assert_allclose(got.t, ref.t, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(got.which, ref.which)
+    assert not np.asarray(got.bad).any()
+    occ = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D), tile=1024,
+        interpret=True, pops=pops, any_hit=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(occ.t) < 1e7, np.asarray(got.t) < 1e7
+    )
