@@ -40,7 +40,7 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "5"))
 # batch (the REPL's `prog N`) renders N jittered frames in ONE device
 # dispatch, amortizing the ~40 ms axon host round-trip that otherwise
 # dominates a 1024x768 frame.  BENCH_BATCH=1 times bare single frames.
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 TARGET_MRAYS = 200.0
 
 

@@ -62,7 +62,8 @@ class Config:
     env_res: int = 256               # mode-0 env sampling height (W = 2H);
                                      # dense-MXU cost scales with H*W
     env_mip_res: int = 512           # mode-1 (textureGrad) atlas base height
-    ray_tile: int = 2048             # rays per Pallas grid step (best measured)
+    ray_tile: int = 4096             # rays per Pallas grid step (best with
+                                     # multi-pop walks; 2048 was best at pops=1)
     packet_fused: bool = True        # fuse bounce+shadow pipeline into ONE
                                      # pallas_call (kernel_mega); wide only
     packet_interleave: int = 1       # interleaved sub-packet walks per step

@@ -276,3 +276,27 @@ def test_fused_vmem_node_tier(sphere):
                             interpret=True, fused=True)
     )
     np.testing.assert_array_equal(fa, fb)
+
+
+def test_fused_multi_pop_frame(packed):
+    """The fused frame pipeline with multi-pop walk steps (production
+    default pops=4; tests otherwise pin pops=1) matches single-pop."""
+    from shader_ray_tpu.config import get_config
+
+    statics = RenderStatics(width=40, height=32)
+    params = _params()
+    base = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=True)
+    )
+    cfg = get_config()
+    old = cfg.walk_pops
+    cfg.walk_pops = 2
+    try:
+        multi = np.asarray(
+            render_frame_packet(packed, params, statics, tile=1024,
+                                interpret=True, fused=True)
+        )
+    finally:
+        cfg.walk_pops = old
+    np.testing.assert_array_equal(multi, base)
