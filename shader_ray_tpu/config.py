@@ -56,8 +56,9 @@ class Config:
     # --- TPU engine knobs (new; no reference analog) ---
     engine: str = "auto"             # "packet" | "wavefront" | "auto"
     packet_kernel: str = "wide"      # "wide" (8-ary short-stack) | "binary"
-    leaf_mode: str = "scalar"        # wide-kernel leaf data path:
-                                     # "scalar" (measured fastest) | "dma"
+    leaf_mode: str = "scalar"        # wide-kernel leaf data path: "scalar"
+                                     # | "dma" | "dmastatic" (all measured
+                                     # within noise on bunny-class)
     node_src: str = ""               # wide node tables: "" auto | "smem" | "vmem"
     env_res: int = 256               # mode-0 env sampling height (W = 2H);
                                      # dense-MXU cost scales with H*W

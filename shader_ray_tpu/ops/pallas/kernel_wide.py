@@ -109,6 +109,59 @@ def leaf_tests_smem(
     return t, which, nx, ny, nz
 
 
+def leaf_tests_smem_static(
+    buf, w, r, sub, tbase, lcount, gate, t, which, nx, ny, nz, mt_eps,
+    leaf_slots: int = 10,
+    occlusion: bool = False,
+):
+    """Static-unroll Moller-Trumbore over the DMA'd leaf-group buffer:
+    SMEM scalar loads splat for free (a VMEM record extract costs ~3
+    vector ops, measured round 3) AND the slots pipeline as in the
+    "scalar" path — vs leaf_tests_smem's dynamic fori, whose per-slot
+    loop overhead cost more than the skipped slots (round-2 "dma"
+    verdict).  Oversized slots are masked by ``k < lcount``."""
+    cbase = sub * LEAF_RECORD
+    Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
+    Dx, Dy, Dz = r["Dx"], r["Dy"], r["Dz"]
+    for k in range(leaf_slots):
+        e = lambda c: buf[w * GROUP_ROWS + k, cbase + c]
+        v0x, v0y, v0z = e(0), e(1), e(2)
+        e0x, e0y, e0z = e(3) - v0x, e(4) - v0y, e(5) - v0z   # v1 - v0
+        e1x, e1y, e1z = v0x - e(6), v0y - e(7), v0z - e(8)   # v0 - v2
+        # M = cross(e1, D)  (fs:305)
+        Mx = e1y * Dz - e1z * Dy
+        My = e1z * Dx - e1x * Dz
+        Mz = e1x * Dy - e1y * Dx
+        det = e0x * Mx + e0y * My + e0z * Mz
+        ok = jnp.abs(det) >= mt_eps
+        minv_det = -1.0 / jnp.where(ok, det, 1.0)
+        inv_det = -minv_det
+        Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
+        Qx = Ty * e0z - Tz * e0y
+        Qy = Tz * e0x - Tx * e0z
+        Qz = Tx * e0y - Ty * e0x
+        d = (e1x * Qx + e1y * Qy + e1z * Qz) * minv_det
+        ok = ok & (d <= t) & (d >= 0.0)
+        u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
+        ok = ok & (u >= 0.0) & (u <= 1.0)
+        v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
+        ok = ok & (v >= 0.0) & (u + v <= 1.0)
+        take = ok & gate & (k < lcount)
+
+        if occlusion:
+            t = jnp.where(take, 0.0, t)
+            continue
+        t = jnp.where(take, d, t)
+        which = jnp.where(take, tbase + k, which)
+        n0x, n0y, n0z = e(9), e(10), e(11)
+        d1x, d1y, d1z = e(12) - n0x, e(13) - n0y, e(14) - n0z
+        d2x, d2y, d2z = e(15) - n0x, e(16) - n0y, e(17) - n0z
+        nx = jnp.where(take, n0x + u * d1x + v * d2x, nx)
+        ny = jnp.where(take, n0y + u * d1y + v * d2y, ny)
+        nz = jnp.where(take, n0z + u * d1z + v * d2z, nz)
+    return t, which, nx, ny, nz
+
+
 def make_wide_walker(
     leaves_ref,
     boxes_ref,
@@ -310,7 +363,7 @@ def make_wide_walker(
                     cnt = (meta >> 26) & 0x1F
                     lrow = meta & 0x3FFFFFF
                     tb = tribase_ref[lrow]
-                    if leaf_mode == "dma":
+                    if leaf_mode in ("dma", "dmastatic"):
                         grp = lrow // LEAVES_PER_GROUP
                         sub = lrow % LEAVES_PER_GROUP
                         dma = pltpu.make_async_copy(
@@ -326,11 +379,19 @@ def make_wide_walker(
                         )
                         dma.start()
                         dma.wait()
-                        t_, which_, nx_, ny_, nz_ = leaf_tests_smem(
-                            leafbuf_ref, w, r, sub, tb, cnt, gate,
-                            t_, which_, nx_, ny_, nz_, mt_eps,
-                            occlusion=any_hit,
-                        )
+                        if leaf_mode == "dmastatic":
+                            t_, which_, nx_, ny_, nz_ = leaf_tests_smem_static(
+                                leafbuf_ref, w, r, sub, tb, cnt, gate,
+                                t_, which_, nx_, ny_, nz_, mt_eps,
+                                leaf_slots=slots,
+                                occlusion=any_hit,
+                            )
+                        else:
+                            t_, which_, nx_, ny_, nz_ = leaf_tests_smem(
+                                leafbuf_ref, w, r, sub, tb, cnt, gate,
+                                t_, which_, nx_, ny_, nz_, mt_eps,
+                                occlusion=any_hit,
+                            )
                     else:
                         t_, which_, nx_, ny_, nz_ = leaf_tests(
                             leaves_ref, r, lrow, tb, cnt,

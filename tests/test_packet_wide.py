@@ -246,3 +246,23 @@ def test_multi_pop_matches_perlane(bumpy, rng, pops):
     np.testing.assert_array_equal(
         np.asarray(occ.t) < 1e7, np.asarray(got.t) < 1e7
     )
+
+
+@pytest.mark.parametrize("leaf_mode", ["dma", "dmastatic"])
+def test_leaf_data_paths_match(bumpy, rng, leaf_mode):
+    """The DMA leaf data paths (dynamic-count fori / static unroll over
+    SMEM scalars) trace identically to the default scalar-extraction
+    path."""
+    data = bumpy
+    packed = pack_scene_wide(data, procedural_sky(64))
+    P, D = _random_rays(rng, 1024)
+    a = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D), tile=1024,
+        interpret=True, leaf_mode="scalar",
+    )
+    b = packet_trace_wide(
+        packed, jnp.asarray(P), jnp.asarray(D), tile=1024,
+        interpret=True, leaf_mode=leaf_mode,
+    )
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.which), np.asarray(b.which))
