@@ -198,6 +198,38 @@ class App:
 
     # --- screenshot (reference ray.cpp:730-787, 's' key) --------------
 
+    def walk_stats(self, file=sys.stdout) -> np.ndarray | None:
+        """Render once with the megakernel's per-phase counters and
+        print steps / leaf visits per packet for each bounce and
+        shadow walk (SURVEY 5.5 observability; no reference analog —
+        the GL driver has no traversal introspection)."""
+        fn = self.renderer.make_stats_fn(self._statics())
+        if fn is None:
+            print("walk stats need the fused packet engine", file=file)
+            return None
+        s = np.asarray(fn(self.frame_params()))
+        n = s.shape[0]
+        shadows = self.cfg.cast_shadows
+        print(f"packets={n} rays_cast={s[:, 0].sum()}", file=file)
+        p = 0
+        for b in range(self._statics().bounce_count):
+            st, lf = s[:, 1 + 2 * p], s[:, 2 + 2 * p]
+            print(
+                f"bounce{b}: steps/pkt {st.mean():6.1f} (max {st.max():4d})"
+                f"  leafs/pkt {lf.mean():6.1f} (max {lf.max():4d})",
+                file=file,
+            )
+            p += 1
+            if shadows:
+                st, lf = s[:, 1 + 2 * p], s[:, 2 + 2 * p]
+                print(
+                    f"shadow{b}: steps/pkt {st.mean():6.1f} (max {st.max():4d})"
+                    f"  leafs/pkt {lf.mean():6.1f} (max {lf.max():4d})",
+                    file=file,
+                )
+                p += 1
+        return s
+
     def screenshot(self, path: str = "color.ppm") -> str:
         """Write the current frame as binary PPM (P6) — the reference's
         color.ppm contract."""

@@ -33,6 +33,7 @@ extra (headless equivalents of mouse gestures):
   zoom DY      shift-drag zoom by DY pixels (negative = zoom in)
   render [F]   force a frame; optionally write it to file F (.ppm)
   prog [N]     progressive render: average N jittered samples (default 4)
+  stats        per-phase walk counters (steps/leaf visits per packet)
   view         toggle inline ANSI-truecolor display of each frame
   help         this text
 """
@@ -122,6 +123,8 @@ def repl(app, out_path: str, stream, view: bool = False) -> None:
             app.drag(float(parts[1]), float(parts[2]))
         elif cmd == "zoom" and len(parts) == 2:
             app.drag(0.0, float(parts[1]), shift=True)
+        elif cmd == "stats":
+            app.walk_stats(file=sys.stderr)
         elif cmd == "prog":
             n = int(parts[1]) if len(parts) > 1 else 4
             frame = app.render_progressive(n)

@@ -204,6 +204,48 @@ class Renderer:
             self.packed, jitters, params, statics, reduce_sum
         )
 
+    def make_stats_fn(self, statics: RenderStatics):
+        """Jitted ``fn(params) -> (n_tiles, 13)`` per-phase walk
+        counters from the fused megakernel (col 0 cast rays; cols
+        1+2p / 2+2p = phase p's walk steps / leaf visits — SURVEY 5.5
+        observability).  None when the engine has no fused path."""
+        import functools
+
+        import jax
+
+        from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
+
+        if self.engine != "packet" or not isinstance(
+            self.packed, PackedSceneWide
+        ):
+            return None
+
+        from shader_ray_tpu.ops.engine_pallas import _pack_uniforms
+        from shader_ray_tpu.ops.pallas.packet_mega import packet_shade
+        from shader_ray_tpu.ops.render import generate_rays
+
+        interpret = jax.default_backend() != "tpu"
+
+        @functools.partial(jax.jit, static_argnames=("statics_",))
+        def _fn(packed_, params, statics_):
+            rays, _ = generate_rays(statics_, params)
+            res = packet_shade(
+                packed_, rays.P, rays.D, None, None,
+                _pack_uniforms(params),
+                tile=self.cfg.ray_tile,
+                max_steps=self.cfg.packet_max_steps or None,
+                mt_eps=statics_.mt_eps,
+                bounce_count=statics_.bounce_count,
+                cast_shadows=statics_.cast_shadows,
+                enable_diffuse=statics_.enable_diffuse,
+                surface_fudge=statics_.surface_fudge,
+                leaf_mode=self.cfg.leaf_mode or "scalar",
+                interpret=interpret,
+            )
+            return res.stats
+
+        return lambda params: _fn(self.packed, params, statics)
+
     def make_count_fn(self, statics: RenderStatics):
         """Jitted ``fn(params) -> rays actually cast`` for one frame:
         the honest Mrays/s denominator (alive bounce rays + shadow rays

@@ -225,3 +225,35 @@ def test_cli_once(tmp_path):
     assert r.returncode == 0, r.stderr
     img = read_ppm(out)
     assert img.shape == (16, 16, 3)
+
+
+def test_walk_stats_command(tmp_path, capsys):
+    """The `stats` observability path: per-phase walk counters print
+    through the App on the fused packet engine."""
+    import io
+
+    import numpy as np
+
+    from shader_ray_tpu.app.driver import App
+    from shader_ray_tpu.config import Config
+    from shader_ray_tpu.models.fixtures import procedural_sky, uv_sphere
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import make_world
+
+    from shader_ray_tpu.engine import Renderer
+    from shader_ray_tpu.models.world import get_shader_data
+
+    cfg = Config()
+    cfg.engine = "packet"
+    pos, _ = uv_sphere(lat=6, lon=8)
+    world = make_world(TriangleSet.from_arrays(pos))
+    renderer = Renderer(
+        get_shader_data(world), procedural_sky(32), config=cfg,
+        engine="packet",
+    )
+    app = App(world, renderer, width=32, height=32, config=cfg)
+    buf = io.StringIO()
+    s = app.walk_stats(file=buf)
+    out = buf.getvalue()
+    assert s is not None and np.asarray(s)[:, 0].sum() > 0
+    assert "bounce0" in out and "shadow0" in out
