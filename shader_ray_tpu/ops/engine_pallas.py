@@ -1,19 +1,20 @@
 """Packet render engine — the production TPU frame pipeline.
 
-Same wavefront structure as ops.render.trace_rays (the GLSL trace()
-loop, raytracer.es.fs:552-582) with the two gather-bound stages
-replaced by gather-free TPU implementations:
+The production path (``fused=True``, wide scenes) runs the ENTIRE
+GLSL trace() loop (raytracer.es.fs:552-582) in ONE pallas_call per
+frame — bounce walks, any-hit shadow walks, and the Schlick/Lambert
+shading between them (ops/pallas/kernel_mega.py) — with rays
+GENERATED directly in kernel-lane order from closed-form per-lane
+pixel coordinates (rays_for_pixels + _laned_pixel_coords).  Only the
+environment term stays outside, as MXU one-hot matmuls
+(ops/pallas/envmxu.py): mode 0 samples the PackedScene base env;
+mode 1 is the reference's textureGrad path (fs:146) — a single 4-hot
+trilinear matmul over the x-upsampled mip atlas.
 
-* BVH traversal + normal interpolation -> ops.pallas.packet_wide
-  (8-wide short-stack Pallas megakernel; the binary hit/miss variant
-  in ops.pallas.packet is kept for comparison);
-* environment lookup -> ops.pallas.envmxu (one-hot bilinear matmuls
-  on the MXU): mode 0 samples the PackedScene base env; mode 1 is the
-  reference's textureGrad path (fs:146) — trilinear mip sampling from
-  the analytic ray-differential LOD over the full-res mip atlas.
-
-Everything else (Schlick, Lambert + hard shadows, filmic tonemap,
-camera ray gen) is elementwise math shared with the CPU engine.
+``fused=False`` (SRT_FUSED=0) keeps the unfused wavefront-structured
+loop: up to six packet_trace_wide/packet_trace calls with XLA
+elementwise shading between them — the A/B reference for the fused
+kernel and the only path for the binary (non-wide) scene tables.
 
 IMPORTANT (axon runtime): the jitted frame function takes the
 PackedScene as an ARGUMENT — device arrays captured as closure

@@ -1,8 +1,8 @@
-"""Wide-BVH packet megakernel body (Pallas TPU), v2.
+"""Wide-BVH packet megakernel body (Pallas TPU), v3.
 
-One walk step pops a wide node off a short SMEM stack and slab-tests
-ALL 8 of its children against the whole ray packet before a single
-scalar sync.  Layout choices are driven by measured axon v5e costs
+One walk step pops up to SRT_POPS (default 4) wide nodes off a short
+SMEM stack and slab-tests ALL their children against the whole ray
+packet before a single scalar sync.  Layout choices are driven by measured axon v5e costs
 (vector op ~2-12 ns, any-reduce ~150 ns, vector->scalar extract
 ~46 ns, SMEM scalar ops ~free, VMEM->SMEM DMA ~260 ns):
 

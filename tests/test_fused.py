@@ -300,3 +300,28 @@ def test_fused_multi_pop_frame(packed):
     finally:
         cfg.walk_pops = old
     np.testing.assert_array_equal(multi, base)
+
+
+@pytest.mark.parametrize("shape", [(32, 64, 1024), (96, 128, 1024), (64, 64, 4096)])
+def test_laned_pixel_coords_match_permutations(shape):
+    """_laned_pixel_coords is the closed-form composition of the
+    _swizzle and _lane_fold_perm permutations (the definitional
+    reference for the lane-order raygen)."""
+    from shader_ray_tpu.ops.engine_pallas import (
+        FOLD,
+        _block_dims,
+        _lane_fold_perm,
+        _laned_pixel_coords,
+        _swizzle,
+    )
+
+    H, W, tile = shape
+    bh, bw = _block_dims(H, W, tile)
+    jj, ii = _laned_pixel_coords(H, W, bh, bw, tile, FOLD)
+    x = jnp.arange(H * W, dtype=jnp.float32).reshape(H * W, 1)
+    if bh > 1:
+        x = _swizzle(x, H, W, bh, bw)
+    x = _lane_fold_perm(x, tile, FOLD)
+    want = np.asarray(x).reshape(-1)
+    got = np.asarray(jj) * W + np.asarray(ii)
+    np.testing.assert_array_equal(got, want)
