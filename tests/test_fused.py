@@ -325,3 +325,18 @@ def test_laned_pixel_coords_match_permutations(shape):
     want = np.asarray(x).reshape(-1)
     got = np.asarray(jj) * W + np.asarray(ii)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_empty_scene():
+    """Empty scene through the fused pipeline: pure environment, no
+    hits, finite output."""
+    ts = TriangleSet.from_arrays(np.zeros((0, 3, 3), np.float32))
+    data = get_shader_data(make_world(ts))
+    packed_e = pack_scene_wide(data, procedural_sky(64), env_size=(32, 64))
+    statics = RenderStatics(width=40, height=32)
+    img = np.asarray(
+        render_frame_packet(packed_e, default_frame_params(), statics,
+                            tile=1024, interpret=True, fused=True)
+    )
+    assert img.shape == (32, 40, 3)
+    assert np.isfinite(img).all()
