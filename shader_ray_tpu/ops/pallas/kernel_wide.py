@@ -46,7 +46,7 @@ from shader_ray_tpu.ops.pallas.kernel_body import (
     make_walk_rays,
 )
 from shader_ray_tpu.ops.pallas.pack import LEAF_RECORD, LEAF_SLOTS, LEAVES_PER_GROUP
-from shader_ray_tpu.ops.pallas.pack_wide import SMALL_LEAF_MAX, WIDE
+from shader_ray_tpu.ops.pallas.pack_wide import SMALL_LEAF_MAX, TINY_LEAF_MAX, WIDE
 
 GROUP_ROWS = 16
 
@@ -186,8 +186,9 @@ def make_wide_walker(
     box_quant: tuple,
     leaf_mode: str = "dma",  # "dma" | "scalar" | "skip" (walk-cost probe)
     leaf_slots: int = 10,    # static slot-unroll bound (scene max count)
-    leaf_slots_small: int = SMALL_LEAF_MAX,  # short unroll for the
-                             # small-leaf class (pack_wide mask bits)
+    leaf_slots_small: int = SMALL_LEAF_MAX,  # short unrolls for the
+    leaf_slots_tiny: int = TINY_LEAF_MAX,    # small/tiny leaf classes
+                             # (pack_wide mask bit groups 16-23/24-31)
     node_src: str = "smem",  # "smem" tables | "vmem" rows DMA'd per step
     pops: int = 1,           # stack entries popped per step (1/2/4):
                              # one scalar sync serves all their children
@@ -282,10 +283,12 @@ def make_wide_walker(
         cks = []  # flat (node j, child ck) scalar ids, index j*8 + p
         leaf_perm = jnp.int32(0)
         large_perm = jnp.int32(0)
+        overtiny_perm = jnp.int32(0)
         for j, nd in enumerate(nodes):
             validm = (nd["masks"] & 0xFF) * nd["valid"]
             leafm = (nd["masks"] >> 8) & 0xFF
             largem = (nd["masks"] >> 16) & 0xFF
+            overtinym = jnp.right_shift(nd["masks"], 24) & 0xFF
             orderw = nd["orderw"]
             for p in range(WIDE):
                 bit = j * WIDE + p
@@ -293,6 +296,9 @@ def make_wide_walker(
                 cks.append(ck)
                 leaf_perm = leaf_perm | (((leafm >> ck) & 1) << bit)
                 large_perm = large_perm | (((largem >> ck) & 1) << bit)
+                overtiny_perm = overtiny_perm | (
+                    ((overtinym >> ck) & 1) << bit
+                )
                 b0 = nd["box_rd"](ck, 0)
                 b1 = nd["box_rd"](ck, 1)
                 b2 = nd["box_rd"](ck, 2)
@@ -404,7 +410,15 @@ def make_wide_walker(
                             t_, which_, nx_, ny_, nz_)
                 return lbody
 
+            tiny = min(leaf_slots_tiny, leaf_slots)
             small = min(leaf_slots_small, leaf_slots)
+            if tiny < small:
+                tbits = leafbits & ~overtiny_perm
+                _, leafs, t, which, nx, ny, nz = jax.lax.while_loop(
+                    lcond, make_lbody(tiny),
+                    (tbits, leafs, t, which, nx, ny, nz),
+                )
+                leafbits = leafbits & overtiny_perm
             if small < leaf_slots:
                 sbits = leafbits & ~large_perm
                 _, leafs, t, which, nx, ny, nz = jax.lax.while_loop(

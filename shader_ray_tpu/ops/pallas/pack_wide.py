@@ -54,9 +54,10 @@ from shader_ray_tpu.ops.pallas.pack import (
 )
 
 WIDE = 8          # children per wide node
-SMALL_LEAF_MAX = 7  # leaf children with <= this many triangles run the
-                    # short statically-unrolled leaf test (kernel_wide
-                    # splits the per-step leaf bit-scan by class)
+TINY_LEAF_MAX = 4   # leaf size classes: the per-step leaf bit-scan
+SMALL_LEAF_MAX = 7  # splits into tiny (<= TINY), small (<= SMALL) and
+                    # large statically-unrolled loops (kernel_wide;
+                    # mask bit groups 24-31 / 16-23 mark > tiny/small)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -228,6 +229,8 @@ def pack_scene_wide(
                 masks[w] |= 1 << (8 + k)
                 if int(counts[b]) > SMALL_LEAF_MAX:
                     masks[w] |= 1 << (16 + k)
+                if int(counts[b]) > TINY_LEAF_MAX:
+                    masks[w] |= 1 << (24 + k)
             else:
                 cmeta[w * WIDE + k] = wid_of_binary[b]
 
