@@ -207,27 +207,25 @@ class App:
         if fn is None:
             print("walk stats need the fused packet engine", file=file)
             return None
+        from shader_ray_tpu.ops.pallas.packet_mega import stats_phases
+
         s = np.asarray(fn(self.frame_params()))
         n = s.shape[0]
-        shadows = self.cfg.cast_shadows
+        statics = self._statics()
+        # phase labels mirror the kernel's emission condition exactly
+        # (shadow phases exist iff cast_shadows AND enable_diffuse)
+        phases = stats_phases(
+            statics.bounce_count, statics.cast_shadows,
+            statics.enable_diffuse,
+        )
         print(f"packets={n} rays_cast={s[:, 0].sum()}", file=file)
-        p = 0
-        for b in range(self._statics().bounce_count):
+        for p, name in enumerate(phases):
             st, lf = s[:, 1 + 2 * p], s[:, 2 + 2 * p]
             print(
-                f"bounce{b}: steps/pkt {st.mean():6.1f} (max {st.max():4d})"
+                f"{name}: steps/pkt {st.mean():6.1f} (max {st.max():4d})"
                 f"  leafs/pkt {lf.mean():6.1f} (max {lf.max():4d})",
                 file=file,
             )
-            p += 1
-            if shadows:
-                st, lf = s[:, 1 + 2 * p], s[:, 2 + 2 * p]
-                print(
-                    f"shadow{b}: steps/pkt {st.mean():6.1f} (max {st.max():4d})"
-                    f"  leafs/pkt {lf.mean():6.1f} (max {lf.max():4d})",
-                    file=file,
-                )
-                p += 1
         return s
 
     def screenshot(self, path: str = "color.ppm") -> str:

@@ -102,6 +102,11 @@ class Config:
         c.packet_fused = _env_int("SRT_FUSED", int(c.packet_fused)) != 0
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
         c.walk_pops = _env_int("SRT_POPS", c.walk_pops)
+        if c.walk_pops not in (1, 2, 4):
+            raise ValueError(
+                f"SRT_POPS={c.walk_pops} invalid: the wide walker pops "
+                "1, 2, or 4 stack entries per step"
+            )
         c.packet_max_steps = _env_int("SRT_MAX_STEPS", c.packet_max_steps)
         c.debug_nans = os.environ.get("SRT_DEBUG_NANS") is not None
         c.validate_scene = os.environ.get("SRT_VALIDATE") is not None

@@ -196,6 +196,7 @@ class Renderer:
                 interleave=self.cfg.packet_interleave,
                 max_steps=self.cfg.packet_max_steps or None,
                 mesh=self.mesh,
+                leaf_mode=self.cfg.leaf_mode or None,
                 fused=self.cfg.packet_fused,
             )
             return jnp.sum(out) if rsum else out

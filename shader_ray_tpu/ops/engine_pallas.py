@@ -505,6 +505,7 @@ def render_progressive_packet(
     interleave: int = 2,
     max_steps: int | None = None,
     mesh=None,
+    leaf_mode: str | None = None,
     fused: bool = True,
 ) -> jnp.ndarray:
     """Progressive accumulation fully on device: average ``K`` frames
@@ -523,7 +524,7 @@ def render_progressive_packet(
         prm = params._replace(pixel_jitter=jit2)
         frame = render_frame_packet(
             packed, prm, inner, tile, interpret, interleave, max_steps,
-            mesh, fused=fused, _laned_out=laned,
+            mesh, leaf_mode, fused=fused, _laned_out=laned,
         )
         return acc + frame, None
 

@@ -30,11 +30,27 @@ class ShadeResult(NamedTuple):
     gy: jnp.ndarray | None    # (R, 3) final dDdy
     bad: jnp.ndarray          # (R,) bool walk-budget overflow
     cast: jnp.ndarray         # () i32 rays actually cast
-    stats: jnp.ndarray        # (n_tiles, 13) i32 per-tile counters:
-                              # col 0 cast; cols 1+2p / 2+2p = phase
-                              # p's walk steps / leaf visits, in kernel
-                              # phase order (bounce, then its shadow
-                              # walk when shadows+diffuse are enabled)
+    stats: jnp.ndarray        # (n_tiles, 1 + 2*n_phases) i32 per-tile
+                              # counters: col 0 cast; cols 1+2p / 2+2p
+                              # = phase p's walk steps / leaf visits,
+                              # in kernel phase order (bounce, then its
+                              # shadow walk — shadow phases exist iff
+                              # cast_shadows AND enable_diffuse, the
+                              # same condition the kernel gates them on)
+
+
+def stats_phases(bounce_count: int, cast_shadows: bool,
+                 enable_diffuse: bool) -> list[str]:
+    """Phase labels in the megakernel's emission order — the single
+    source of truth for decoding ShadeResult.stats (kernel_mega.py
+    emits a shadow phase iff ``cast_shadows and enable_diffuse``;
+    see the walker calls at kernel_mega.py:157,211)."""
+    phases = []
+    for b in range(bounce_count):
+        phases.append(f"bounce{b}")
+        if cast_shadows and enable_diffuse:
+            phases.append(f"shadow{b}")
+    return phases
 
 
 def packet_shade(
@@ -221,7 +237,8 @@ def packet_shade(
     unstack = lambda v3: jnp.stack(
         [un(v3[0:fold]), un(v3[fold : 2 * fold]), un(v3[2 * fold :])], axis=-1
     )
-    per_tile = cnt[0].reshape(n_tiles, 128)[:, :13]
+    n_phases = len(stats_phases(bounce_count, cast_shadows, enable_diffuse))
+    per_tile = cnt[0].reshape(n_tiles, 128)[:, : 1 + 2 * n_phases]
     return ShadeResult(
         acc=unstack(acc3),
         mod=unstack(mod3),

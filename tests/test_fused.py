@@ -202,6 +202,37 @@ def test_fused_phase_stats(packed):
     assert s[:, 5].sum() <= s[:, 1].sum() * 3
 
 
+@pytest.mark.parametrize(
+    "bounces,shadows,diffuse",
+    [(3, True, False), (3, False, True), (2, True, True), (4, True, True)],
+)
+def test_fused_phase_stats_column_layout(packed, bounces, shadows, diffuse):
+    """Regression (VERDICT r1 weak #6 / ADVICE): the stats block must
+    size and label columns by the kernel's actual phase emission —
+    shadow phases exist iff cast_shadows AND enable_diffuse — for any
+    bounce count, not a hard-coded 13."""
+    from shader_ray_tpu.ops.engine_pallas import _pack_uniforms
+    from shader_ray_tpu.ops.pallas.packet_mega import packet_shade, stats_phases
+    from shader_ray_tpu.ops.render import generate_rays
+
+    statics = RenderStatics(width=40, height=32)
+    params = _params()
+    rays, _ = generate_rays(statics, params)
+    res = packet_shade(
+        packed, rays.P, rays.D, None, None, _pack_uniforms(params),
+        tile=1024, interpret=True, bounce_count=bounces,
+        cast_shadows=shadows, enable_diffuse=diffuse,
+    )
+    phases = stats_phases(bounces, shadows, diffuse)
+    s = np.asarray(res.stats)
+    assert s.shape[1] == 1 + 2 * len(phases)
+    assert int(np.asarray(res.cast)) == int(s[:, 0].sum())
+    # the primary bounce walk always runs
+    assert s[:, 1].sum() > 0
+    has_shadow = shadows and diffuse
+    assert any(p.startswith("shadow") for p in phases) == has_shadow
+
+
 def test_shadow_walk_axis_aligned_light():
     """Regression (round 3): with the default light (0, 0, 1) — zero x
     and y components — the wide walker's folded dequant affine produced
