@@ -175,6 +175,92 @@ def main() -> None:
         out["mrays_per_s_cast"] = round(rays_cast / t / 1e6, 2)
     print(json.dumps(out))
 
+    # second metric (VERDICT r1 next #8): an occlusion-HEAVY scene —
+    # ridged terrain under a grazing light, where shadow rays hit real
+    # occluders (the blob's shadows are ~all unoccluded) — so shadow
+    # early-exit and BVH-quality work is measured on geometry shaped
+    # like the canonical bunny workload's cavities.
+    if os.environ.get("BENCH_OCCLUDED", "1") != "0":
+        try:
+            occ = bench_occluded(statics, fov)
+            print(json.dumps(occ))
+        except Exception as e:  # the headline must never sink with it
+            print(f"occluded bench failed: {e}", file=sys.stderr)
+
+
+def bench_occluded(statics, fov) -> dict:
+    import jax.numpy as jnp
+
+    from shader_ray_tpu.config import get_config
+    from shader_ray_tpu.engine import Renderer
+    from shader_ray_tpu.models.fixtures import procedural_sky, terrain_scene
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import get_shader_data, make_world
+    from shader_ray_tpu.ops.render import default_frame_params
+    from shader_ray_tpu.utils import mat4
+    from shader_ray_tpu.utils.cache import cached_scene_data
+
+    tris = int(os.environ.get("BENCH_TRIS", "69000"))
+
+    def builder():
+        pos, _ = terrain_scene(tris)
+        return get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+
+    cfg = get_config()
+    key = (
+        f"bench-terrain-{tris // 1000}k"
+        f"-l{cfg.bvh_leaf_max}-d{cfg.bvh_max_depth}"
+    )
+    data = cached_scene_data(key, builder, verbose=True)
+    renderer = Renderer(data, procedural_sky(2048))
+    # grazing light: valleys shadow themselves (vs the default (0,0,1))
+    light = np.array([0.78, 0.5, 0.37], np.float32)
+    light /= np.linalg.norm(light)
+    zoom = 2.9 / 2.0 / np.sin(fov / 2.0)
+    cam = mat4.make_translation(0.0, 0.0, zoom).astype(np.float32)
+    params = default_frame_params(fov=fov)._replace(
+        camera_matrix=jnp.asarray(cam),
+        light_dir=jnp.asarray(light),
+        diffuse_color=jnp.asarray(np.array([0.7, 0.6, 0.45], np.float32)),
+        specular_color=jnp.asarray(np.array([0.04, 0.04, 0.04], np.float32)),
+    )
+    fsum = renderer.make_checksum_fn(statics)
+    np.asarray(fsum(params))  # compile + warm
+    t = None
+    if BATCH > 1:
+        pfn = renderer.make_progressive_fn(statics, BATCH, reduce_sum=True)
+        if pfn is not None:
+            np.asarray(pfn(params))
+            bt = []
+            for _ in range(FRAMES):
+                t0 = time.perf_counter()
+                np.asarray(pfn(params))
+                bt.append(time.perf_counter() - t0)
+            t = float(np.median(bt)) / BATCH
+    if t is None:
+        ts = []
+        for _ in range(FRAMES):
+            t0 = time.perf_counter()
+            np.asarray(fsum(params))
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts))
+    rays = WIDTH * HEIGHT * 6
+    out = {
+        "metric": "mrays_per_s_occluded",
+        "value": round(rays / t / 1e6, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(rays / t / 1e6 / TARGET_MRAYS, 4),
+        "frame_ms": round(t * 1e3, 2),
+        "frames_per_dispatch": BATCH,
+    }
+    try:
+        cast = int(np.asarray(renderer.make_count_fn(statics)(params)))
+        out["rays_cast"] = cast
+        out["mrays_per_s_cast"] = round(cast / t / 1e6, 2)
+    except Exception as e:
+        print(f"occluded cast accounting failed: {e}", file=sys.stderr)
+    return out
+
 
 if __name__ == "__main__":
     main()

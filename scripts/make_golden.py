@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Render the bench-config goldens on the real chip (VERDICT r1 next
+#7): the 1024x768 bunny-class frame at which=0 (production path) and
+which=5 (the reference's own 5x5 supersampled ground-truth mode,
+raytracer.es.fs:654-673), box-downsampled 4x to 256x192 and committed
+under tests/golden/ together with their float checksums.
+
+Run on TPU:  python scripts/make_golden.py
+Verify:      python scripts/make_golden.py --verify   (re-renders and
+             compares against the committed goldens)
+tests/test_golden.py's bench-golden test checks integrity (hashes) on
+CPU; the --verify mode is the on-chip regression gate between rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "golden"
+)
+DOWN = 4  # 1024x768 -> 256x192
+
+
+def render(which: int) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from bench import build_scene_data
+    from shader_ray_tpu.engine import Renderer
+    from shader_ray_tpu.ops.render import RenderStatics, default_frame_params
+    from shader_ray_tpu.utils import mat4
+
+    data, env = build_scene_data()
+    renderer = Renderer(data, env)
+    statics = RenderStatics(
+        width=1024, height=768, tile_size=65536, which=which
+    )
+    fov = np.deg2rad(40.0)
+    zoom = 2.6 / 2.0 / np.sin(fov / 2.0)
+    cam = mat4.make_translation(0.0, 0.0, zoom).astype(np.float32)
+    params = default_frame_params(fov=fov)._replace(
+        camera_matrix=jnp.asarray(cam),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.2, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.05, 0.05, 0.05], np.float32)),
+    )
+    img = np.asarray(renderer.make_fn(statics)(params)).astype(np.float32)
+    H, W = img.shape[:2]
+    return img.reshape(H // DOWN, DOWN, W // DOWN, DOWN, 3).mean(axis=(1, 3))
+
+
+def main() -> None:
+    verify = "--verify" in sys.argv
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    meta = {}
+    ok = True
+    for which, name in [(0, "bench_which0"), (5, "bench_which5_oracle")]:
+        img = render(which)
+        path = os.path.join(GOLDEN_DIR, f"{name}.npy")
+        if verify:
+            ref = np.load(path)
+            err = np.abs(img - ref)
+            line = (
+                f"{name}: mean err {err.mean():.5f}, max {err.max():.4f}, "
+                f">2% pixels {(err.max(axis=-1) > 0.02 * 255).mean():.4%}"
+            )
+            print(line)
+            # tonemapped u8-scale frames: tolerate sub-1% drift
+            if err.mean() > 2.5:
+                print(f"FAIL: {name} drifted beyond tolerance")
+                ok = False
+        else:
+            np.save(path, img.astype(np.float32))
+            meta[name] = {
+                "checksum": float(img.sum()),
+                "mean": float(img.mean()),
+                "shape": list(img.shape),
+            }
+            print(f"wrote {path}: sum={img.sum():.2f} mean={img.mean():.3f}")
+    if not verify:
+        with open(os.path.join(GOLDEN_DIR, "bench_meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,11 @@ class Config:
                                      # | "dma" | "dmastatic" (all measured
                                      # within noise on bunny-class)
     node_src: str = ""               # wide node tables: "" auto | "smem" | "vmem"
+    leaf_isect: str = "woop"         # leaf intersector/record format:
+                                     # "woop" precomputed unit-tri affine
+                                     # (measured 38.1 vs 39.9 ms r2) |
+                                     # "mt" raw-vertex Moller-Trumbore
+    collapse: str = "sah"            # wide collapse: "sah" DP | "greedy"
     env_res: int = 256               # mode-0 env sampling height (W = 2H);
                                      # dense-MXU cost scales with H*W
     env_mip_res: int = 512           # mode-1 (textureGrad) atlas base height
@@ -96,6 +101,12 @@ class Config:
             c.leaf_mode = os.environ["SRT_LEAF_MODE"]
         if os.environ.get("SRT_NODE_SRC"):
             c.node_src = os.environ["SRT_NODE_SRC"]
+        c.leaf_isect = os.environ.get("SRT_ISECT", c.leaf_isect)
+        if c.leaf_isect not in ("mt", "woop"):
+            raise ValueError(f"SRT_ISECT={c.leaf_isect!r}: use 'mt' or 'woop'")
+        c.collapse = os.environ.get("SRT_COLLAPSE", c.collapse)
+        if c.collapse not in ("sah", "greedy"):
+            raise ValueError(f"SRT_COLLAPSE={c.collapse!r}: use 'sah' or 'greedy'")
         c.env_res = _env_int("SRT_ENV_RES", c.env_res)
         c.env_mip_res = _env_int("SRT_ENV_MIP_RES", c.env_mip_res)
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)

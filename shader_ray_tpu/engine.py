@@ -76,6 +76,8 @@ class Renderer:
                 self.packed = pack_scene_wide(
                     data, background,
                     node_src=cfg.node_src or None,
+                    collapse=cfg.collapse,
+                    isect=cfg.leaf_isect,
                     **pack_kwargs,
                 )
             else:

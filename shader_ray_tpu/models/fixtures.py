@@ -129,3 +129,32 @@ def procedural_sky(width: int = 1024) -> np.ndarray:
     sun = 50.0 * np.exp(-d2 / (2 * 0.012 ** 2))
     sky += sun[..., None] * np.array([1.0, 0.95, 0.8], dtype=np.float32)
     return sky.astype(np.float32)
+
+
+def terrain_scene(target_tris: int = 69000) -> tuple[np.ndarray, np.ndarray]:
+    """Occlusion-heavy stand-in (VERDICT r1 next #8): a ridged
+    heightfield whose valleys self-shadow under a grazing light —
+    unlike the convex-ish bunny-class blob, shadow rays here hit real
+    occluders, exercising any-hit early exit and BVH quality on
+    terrain-like geometry."""
+    # grid of quads: 2 * n * n tris ~= target
+    n = max(8, int(np.sqrt(target_tris / 2.0)))
+    xs = np.linspace(-1.0, 1.0, n + 1)
+    ys = np.linspace(-1.0, 1.0, n + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    # ridged terrain: abs-sine ridges create sharp V valleys
+    Z = (
+        0.30 * np.abs(np.sin(3.1 * np.pi * X) * np.sin(2.7 * np.pi * Y))
+        + 0.18 * np.abs(np.sin(6.3 * np.pi * X + 1.1))
+        + 0.12 * np.abs(np.sin(5.7 * np.pi * Y + 2.3))
+        + 0.06 * np.sin(11.0 * np.pi * X) * np.sin(13.0 * np.pi * Y)
+    )
+    P = np.stack([X, Y, Z], axis=-1).astype(np.float32)  # (n+1, n+1, 3)
+    tris = []
+    for i in range(n):
+        for j in range(n):
+            p00, p01 = P[i, j], P[i, j + 1]
+            p10, p11 = P[i + 1, j], P[i + 1, j + 1]
+            tris.append([p00, p10, p01])
+            tris.append([p01, p10, p11])
+    return np.asarray(tris, dtype=np.float32), None

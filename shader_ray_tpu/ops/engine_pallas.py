@@ -86,10 +86,17 @@ def _pack_uniforms(params: FrameParams) -> jnp.ndarray:
     return uni
 
 
-def _env_lookup(packed, statics: RenderStatics, D, gx, gy) -> jnp.ndarray:
+def _env_lookup(
+    packed, statics: RenderStatics, D, gx, gy,
+    tile: int = 4096, interpret: bool = False, prefolded: bool = False,
+) -> jnp.ndarray:
     """The environment term for the final rays, per debug mode: mode 0
-    base-level MXU bilinear (fs:153), mode 1 textureGrad trilinear mips
-    (fs:146), mode 2 the dY differential visualization (fs:147-149)."""
+    full-res windowed bilinear (fs:153 samples the NATIVE-resolution
+    texture; envwin falls back per tile to mips for incoherent
+    packets) — or dense MXU bilinear at the downsampled env when the
+    scene was packed with env_mode="dense"; mode 1 textureGrad
+    trilinear mips (fs:146); mode 2 the dY differential visualization
+    (fs:147-149)."""
     if statics.which == 2:
         from shader_ray_tpu.ops.envmap import env_derivatives
 
@@ -98,9 +105,23 @@ def _env_lookup(packed, statics: RenderStatics, D, gx, gy) -> jnp.ndarray:
             [jnp.abs(dudy) * 100.0, jnp.abs(dvdy) * 100.0, jnp.zeros_like(dudy)],
             axis=-1,
         )
+    planes = getattr(packed, "env_planes", None)
     if statics.which == 1:
+        if planes is not None:
+            from shader_ray_tpu.ops.pallas.envwin import sample_env_window_grad
+
+            return sample_env_window_grad(
+                planes, D, gx, gy,
+                tile=tile, interpret=interpret, prefolded=prefolded,
+            )
         H0, W0 = packed.env_atlas_base
         return sample_env_mxu_mip(packed.env_atlas, H0, W0, D, gx, gy)
+    if planes is not None:
+        from shader_ray_tpu.ops.pallas.envwin import sample_env_window
+
+        return sample_env_window(
+            planes, D, tile=tile, interpret=interpret, prefolded=prefolded
+        )
     return sample_env_mxu(packed.env, D)
 
 
@@ -140,7 +161,10 @@ def _trace_rays_packet_fused(
         interpret=interpret,
         prefolded=prefolded,
     )
-    env = _env_lookup(packed, statics, res.D, res.gx, res.gy)
+    env = _env_lookup(
+        packed, statics, res.D, res.gx, res.gy,
+        tile=tile, interpret=interpret, prefolded=prefolded,
+    )
     color = res.acc + res.mod * env
     bad_color = jnp.array([1.0, 0.0, 0.0], jnp.float32)
     color = jnp.where(res.bad[..., None], bad_color, color)
@@ -254,7 +278,10 @@ def trace_rays_packet(
         ])
         alive = hit_ok
 
-    env = _env_lookup(packed, statics, r.D, r.dDdx, r.dDdy)
+    env = _env_lookup(
+        packed, statics, r.D, r.dDdx, r.dDdy,
+        tile=tile, interpret=interpret, prefolded=prefolded,
+    )
     color = accumulated + modulation * env
     bad_color = jnp.array([1.0, 0.0, 0.0], f32)
     color = jnp.where(bad[..., None], bad_color, color)

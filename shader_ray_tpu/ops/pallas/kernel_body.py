@@ -19,12 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from shader_ray_tpu.ops.pallas.pack import (
-    GROUP_ROWS,
-    LEAF_RECORD,
-    LEAF_SLOTS,
-    LEAVES_PER_GROUP,
-)
+from shader_ray_tpu.ops.pallas.pack import GROUP_ROWS, LEAF_SLOTS, leaf_layout
 
 INFINITELY_FAR = 1.0e7   # fs:115
 RANGE_T1 = 1.0e8         # fs:463,491
@@ -44,16 +39,104 @@ def safe_inv(d):
     return 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
 
+def slot_hit(e, r, t, d_lo, d_hi, mt_eps, isect: str):
+    """One triangle-slot intersection over the ray packet: ``e(c)``
+    loads scalar lane ``c`` of the slot's record (VMEM extract or SMEM
+    load depending on the caller).  Returns (ok, d, u, v) — the
+    pre-gate accept mask and hit parameters.
+
+    ``isect == "mt"``: Moller-Trumbore on raw vertices
+    (raytracer.es.fs:297-345 early-outs as lane masks; eps 1e-7 on the
+    determinant, fs:312-315).  ``isect == "woop"``: precomputed
+    world->unit-triangle affine (pack.WOOP_LEAF_RECORD layout) — t/u/v
+    are each an affine dot, and the eps test runs on N.D which equals
+    -det_MT exactly, preserving the reference accept set.  The
+    reference's ``u <= 1`` reject (fs:331-335) is implied by
+    ``v >= 0 && u + v <= 1`` and therefore not re-tested."""
+    Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
+    Dx, Dy, Dz = r["Dx"], r["Dy"], r["Dz"]
+    if isect == "woop":
+        nx_, ny_, nz_ = e(0), e(1), e(2)
+        dz = nx_ * Dx + ny_ * Dy + nz_ * Dz      # == -det_MT
+        oz = nx_ * Px + ny_ * Py + nz_ * Pz + e(3)
+        ok = jnp.abs(dz) >= mt_eps
+        rcp = -1.0 / jnp.where(ok, dz, 1.0)
+        d = oz * rcp
+        ok = ok & (d <= t) & (d >= d_lo)
+        if not (isinstance(d_hi, float) and d_hi >= INFINITELY_FAR):
+            ok = ok & (d <= d_hi)
+        ax, ay, az = e(4), e(5), e(6)
+        u = (ax * Px + ay * Py + az * Pz + e(7)) + d * (
+            ax * Dx + ay * Dy + az * Dz
+        )
+        ok = ok & (u >= 0.0)
+        bx, by, bz = e(8), e(9), e(10)
+        v = (bx * Px + by * Py + bz * Pz + e(11)) + d * (
+            bx * Dx + by * Dy + bz * Dz
+        )
+        ok = ok & (v >= 0.0) & (u + v <= 1.0)
+        return ok, d, u, v
+
+    v0x, v0y, v0z = e(0), e(1), e(2)
+    e0x, e0y, e0z = e(3) - v0x, e(4) - v0y, e(5) - v0z   # v1 - v0
+    e1x, e1y, e1z = v0x - e(6), v0y - e(7), v0z - e(8)   # v0 - v2
+    # M = cross(e1, D)  (fs:305)
+    Mx = e1y * Dz - e1z * Dy
+    My = e1z * Dx - e1x * Dz
+    Mz = e1x * Dy - e1y * Dx
+    det = e0x * Mx + e0y * My + e0z * Mz
+    ok = jnp.abs(det) >= mt_eps
+    # fold the d-negation into the reciprocal (one fewer vector op)
+    minv_det = -1.0 / jnp.where(ok, det, 1.0)
+    inv_det = -minv_det
+    Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
+    Qx = Ty * e0z - Tz * e0y
+    Qy = Tz * e0x - Tx * e0z
+    Qz = Tx * e0y - Ty * e0x
+    d = (e1x * Qx + e1y * Qy + e1z * Qz) * minv_det
+    ok = ok & (d <= t) & (d >= d_lo)
+    if not (isinstance(d_hi, float) and d_hi >= INFINITELY_FAR):
+        # redundant when the static bound exceeds the initial t
+        ok = ok & (d <= d_hi)
+    u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
+    ok = ok & (u >= 0.0)
+    v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
+    ok = ok & (v >= 0.0) & (u + v <= 1.0)
+    return ok, d, u, v
+
+
+def slot_normal(e, u, v, isect: str):
+    """Interpolated-normal components for an accepting slot:
+    n0 + u*(n1-n0) + v*(n2-n0) (delta form — 2 FMAs/component).  The
+    woop record stores the deltas prefolded; mt derives them with
+    free scalar subs."""
+    if isect == "woop":
+        n0x, n0y, n0z = e(12), e(13), e(14)
+        d1x, d1y, d1z = e(15), e(16), e(17)
+        d2x, d2y, d2z = e(18), e(19), e(20)
+    else:
+        n0x, n0y, n0z = e(9), e(10), e(11)
+        d1x, d1y, d1z = e(12) - n0x, e(13) - n0y, e(14) - n0z
+        d2x, d2y, d2z = e(15) - n0x, e(16) - n0y, e(17) - n0z
+    return (
+        n0x + u * d1x + v * d2x,
+        n0y + u * d1y + v * d2y,
+        n0z + u * d1z + v * d2z,
+    )
+
+
 def leaf_tests(
     leaves_ref, r, lrow, tbase, lcount,
     mask, d_lo, d_hi, t, which, nx, ny, nz, mt_eps,
     leaf_slots: int = LEAF_SLOTS,
     occlusion: bool = False,
+    isect: str = "mt",
+    track_which: bool = True,
 ):
-    """Slot-parallel Moller-Trumbore over one leaf's <= 10 triangles
-    (raytracer.es.fs:297-345 early-outs as lane masks) with at-accept
-    normal interpolation.  ``mask`` is the per-ray accept gate (the
-    binary walk passes its slab boxhit; the wide walk passes the active
+    """Slot-parallel triangle tests over one leaf's <= 10 triangles
+    with at-accept normal interpolation (intersector per ``isect``,
+    see slot_hit).  ``mask`` is the per-ray accept gate (the binary
+    walk passes its slab boxhit; the wide walk passes the active
     mask — the leaf box contains its triangles, so the per-leaf slab
     clip is geometrically redundant); ``d_lo``/``d_hi`` bound the
     accepted hit distance (scalars or per-ray vectors).
@@ -61,68 +144,39 @@ def leaf_tests(
     ``occlusion``: any-hit mode — an accepted hit just zeroes the
     lane's t (retiring it from all further box/leaf tests); the
     which/normal bookkeeping (~15% of slot ops) is skipped."""
-    grp = lrow // LEAVES_PER_GROUP
-    sub = lrow % LEAVES_PER_GROUP
+    record, per_group = leaf_layout(isect)
+    grp = lrow // per_group
+    sub = lrow % per_group
     base = pl.multiple_of(grp * GROUP_ROWS, GROUP_ROWS)
     block = leaves_ref[pl.ds(base, GROUP_ROWS), :]
     rec = jax.lax.switch(
         sub,
         [
-            (lambda s=s: block[0:LEAF_SLOTS, s * LEAF_RECORD : (s + 1) * LEAF_RECORD])
-            for s in range(LEAVES_PER_GROUP)
+            (lambda s=s: block[0:LEAF_SLOTS, s * record : (s + 1) * record])
+            for s in range(per_group)
         ],
-    )  # (10, 18): slot-major triangle records
+    )  # (10, record): slot-major triangle records
 
-    Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
-    Dx, Dy, Dz = r["Dx"], r["Dy"], r["Dz"]
     for k in range(leaf_slots):
         # true scalar extraction (a reduction) — Mosaic folds
         # broadcast+slice chains back into an unsupported
         # (1,1)->(F,C) two-axis broadcast; scalar splat is native
         e = lambda c: jnp.sum(rec[k : k + 1, c : c + 1])
-        v0x, v0y, v0z = e(0), e(1), e(2)
-        v1x, v1y, v1z = e(3), e(4), e(5)
-        v2x, v2y, v2z = e(6), e(7), e(8)
-
-        e0x, e0y, e0z = v1x - v0x, v1y - v0y, v1z - v0z
-        e1x, e1y, e1z = v0x - v2x, v0y - v2y, v0z - v2z
-        # M = cross(e1, D)  (fs:305)
-        Mx = e1y * Dz - e1z * Dy
-        My = e1z * Dx - e1x * Dz
-        Mz = e1x * Dy - e1y * Dx
-        det = e0x * Mx + e0y * My + e0z * Mz
-        ok = jnp.abs(det) >= mt_eps
-        # fold the d-negation into the reciprocal (one fewer vector op)
-        minv_det = -1.0 / jnp.where(ok, det, 1.0)
-        inv_det = -minv_det
-        Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
-        Qx = Ty * e0z - Tz * e0y
-        Qy = Tz * e0x - Tx * e0z
-        Qz = Tx * e0y - Ty * e0x
-        d = (e1x * Qx + e1y * Qy + e1z * Qz) * minv_det
-        ok = ok & (d <= t) & (d >= d_lo)
-        if not (isinstance(d_hi, float) and d_hi >= INFINITELY_FAR):
-            # redundant when the static bound exceeds the initial t
-            ok = ok & (d <= d_hi)
-        u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
-        ok = ok & (u >= 0.0) & (u <= 1.0)
-        v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
-        ok = ok & (v >= 0.0) & (u + v <= 1.0)
+        ok, d, u, v = slot_hit(e, r, t, d_lo, d_hi, mt_eps, isect)
         take = ok & mask & (k < lcount)
 
         if occlusion:
             t = jnp.where(take, 0.0, t)
             continue
         t = jnp.where(take, d, t)
-        which = jnp.where(take, tbase + k, which)
-        # delta-form interpolation: n0 + u*(n1-n0) + v*(n2-n0) — the
-        # deltas are scalar subs (free), 2 FMAs/component vs 5 ops
-        n0x, n0y, n0z = e(9), e(10), e(11)
-        d1x, d1y, d1z = e(12) - n0x, e(13) - n0y, e(14) - n0z
-        d2x, d2y, d2z = e(15) - n0x, e(16) - n0y, e(17) - n0z
-        nx = jnp.where(take, n0x + u * d1x + v * d2x, nx)
-        ny = jnp.where(take, n0y + u * d1y + v * d2y, ny)
-        nz = jnp.where(take, n0z + u * d1z + v * d2z, nz)
+        if track_which:
+            # the fused megakernel never reads `which` (shading needs
+            # only t + normal) — skipping saves a select per slot
+            which = jnp.where(take, tbase + k, which)
+        inx, iny, inz = slot_normal(e, u, v, isect)
+        nx = jnp.where(take, inx, nx)
+        ny = jnp.where(take, iny, ny)
+        nz = jnp.where(take, inz, nz)
     return t, which, nx, ny, nz
 
 

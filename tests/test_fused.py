@@ -173,7 +173,12 @@ def test_fused_sharded(packed):
         render_frame_packet(packed, params, statics, tile=1024,
                             interpret=True, fused=True, mesh=mesh)
     )
-    np.testing.assert_allclose(shard, solo, atol=2e-3)
+    # the windowed env sampler picks footprint windows PER RAY TILE;
+    # sharding regroups tiles, so borderline packets may legitimately
+    # resolve one mip level apart — tolerance covers that (the
+    # traversal itself is bit-identical across shard counts, pinned by
+    # test_parallel's wavefront-engine invariance tests)
+    np.testing.assert_allclose(shard, solo, atol=6e-3)
 
 
 def test_fused_phase_stats(packed):

@@ -68,7 +68,7 @@ def test_collapse_covers_all_leaves(bumpy):
 def test_wide_matches_perlane_traversal(sphere, rng):
     data = sphere
     scene = upload_scene(data, procedural_sky(64))
-    packed = pack_scene_wide(data, procedural_sky(64))
+    packed = pack_scene_wide(data, procedural_sky(64), isect="mt")
     P, D = _random_rays(rng, 512)
 
     ref = traverse(scene, jnp.asarray(P), jnp.asarray(D))
@@ -91,7 +91,7 @@ def test_wide_matches_perlane_traversal(sphere, rng):
 def test_wide_matches_perlane_deep(bumpy, rng):
     data = bumpy
     scene = upload_scene(data, procedural_sky(64))
-    packed = pack_scene_wide(data, procedural_sky(64))
+    packed = pack_scene_wide(data, procedural_sky(64), isect="mt")
     P, D = _random_rays(rng, 1024)
 
     ref = traverse(scene, jnp.asarray(P), jnp.asarray(D))
@@ -165,7 +165,8 @@ def test_which1_texturegrad_parity(sphere):
     env = procedural_sky(1024)  # (512, 1024) = atlas base, pow2
     scene = upload_scene(data, env)
     packed = pack_scene_wide(
-        data, env, env_size=(512, 1024), env_atlas_base=(512, 1024)
+        data, env, env_size=(512, 1024), env_atlas_base=(512, 1024),
+        env_mode="dense",  # this test pins the dense 4-hot atlas path
     )
     assert packed.env_atlas.shape == (1023, 3072)
 
@@ -194,7 +195,7 @@ def test_wide_large_scene_over_32k_nodes(rng):
     data = get_shader_data(make_world(ts))
     assert data.group_count > 32768  # beyond the binary engine's cap
 
-    packed = pack_scene_wide(data, procedural_sky(64))
+    packed = pack_scene_wide(data, procedural_sky(64), isect="mt")
     scene = upload_scene(data, procedural_sky(64))
     P = (rng.normal(size=(256, 3)) * 0.1 + [0, 0, 3]).astype(np.float32)
     D = ([0, 0, -1.0] + 0.2 * rng.normal(size=(256, 3))).astype(np.float32)
@@ -229,7 +230,7 @@ def test_multi_pop_matches_perlane(bumpy, rng, pops):
     scratch scales by pops (disjoint branches advance together)."""
     data = bumpy
     scene = upload_scene(data, procedural_sky(64))
-    packed = pack_scene_wide(data, procedural_sky(64))
+    packed = pack_scene_wide(data, procedural_sky(64), isect="mt")
     P, D = _random_rays(rng, 1024)
     ref = traverse(scene, jnp.asarray(P), jnp.asarray(D))
     got = packet_trace_wide(
@@ -266,3 +267,88 @@ def test_leaf_data_paths_match(bumpy, rng, leaf_mode):
     )
     np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
     np.testing.assert_array_equal(np.asarray(a.which), np.asarray(b.which))
+
+
+@pytest.mark.parametrize("leaf_mode", ["scalar", "dmastatic", "dma"])
+def test_woop_isect_matches_mt(bumpy, rng, leaf_mode):
+    """The woop precomputed-affine intersector (VERDICT r1 next #1)
+    agrees with raw-vertex Moller-Trumbore: same hit classification,
+    t within f32 round-off, same triangle chosen except where two
+    triangles' edges are within eps of each other."""
+    data = bumpy
+    env = procedural_sky(64)
+    P, D = _random_rays(rng, 1024)
+    a = pack_scene_wide(data, env, isect="mt")
+    b = pack_scene_wide(data, env, isect="woop")
+    assert b.isect == "woop" and b.leaves.shape != a.leaves.shape
+    ga = packet_trace_wide(
+        a, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True,
+        leaf_mode=leaf_mode,
+    )
+    gb = packet_trace_wide(
+        b, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True,
+        leaf_mode=leaf_mode,
+    )
+    ta, tb = np.asarray(ga.t), np.asarray(gb.t)
+    hit_a, hit_b = ta < 1e7, tb < 1e7
+    np.testing.assert_array_equal(hit_a, hit_b)
+    np.testing.assert_allclose(tb[hit_b], ta[hit_a], rtol=1e-4, atol=1e-5)
+    # the chosen triangle may differ on shared-edge grazing rays only
+    agree = np.asarray(ga.which) == np.asarray(gb.which)
+    assert agree.mean() > 0.995, f"which agreement {agree.mean()}"
+    na, nb = np.asarray(ga.normal), np.asarray(gb.normal)
+    np.testing.assert_allclose(nb[agree & hit_a], na[agree & hit_a],
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_woop_fused_frame_matches_wavefront(sphere):
+    """Full fused-megakernel frame with the woop intersector vs the
+    wavefront oracle."""
+    data = sphere
+    env = procedural_sky(512)
+    scene = upload_scene(data, env)
+    packed = pack_scene_wide(data, env, env_size=(256, 512), isect="woop")
+
+    statics = RenderStatics(width=40, height=32, tile_size=512)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(mat4.make_translation(0, 0, 3.0).astype(np.float32)),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.3, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32)),
+    )
+    ref = np.asarray(render_frame(scene, params, statics))
+    got = np.asarray(
+        render_frame_packet(packed, params, statics, tile=1024,
+                            interpret=True, fused=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+@pytest.mark.parametrize("pops", [2, 4])
+def test_vmem_node_tier_multi_pop(bumpy, rng, pops):
+    """VERDICT r1 next #5: the large-scene VMEM node tier no longer
+    forces pops=1 — prefetched per-pop node-group DMAs trace
+    identically to the SMEM tier at any pops."""
+    data = bumpy
+    env = procedural_sky(64)
+    P, D = _random_rays(rng, 1024)
+    a = pack_scene_wide(data, env, node_src="smem")
+    b = pack_scene_wide(data, env, node_src="vmem")
+    ga = packet_trace_wide(
+        a, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True,
+        pops=pops,
+    )
+    gb = packet_trace_wide(
+        b, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True,
+        pops=pops,
+    )
+    np.testing.assert_array_equal(np.asarray(ga.t), np.asarray(gb.t))
+    np.testing.assert_array_equal(np.asarray(ga.which), np.asarray(gb.which))
+
+    # any-hit early exit keeps the DMA semaphore protocol balanced
+    occ = packet_trace_wide(
+        b, jnp.asarray(P), jnp.asarray(D), tile=1024, interpret=True,
+        pops=pops, any_hit=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(occ.t) < 1e7, np.asarray(ga.t) < 1e7
+    )
