@@ -56,9 +56,10 @@ class Config:
     # --- TPU engine knobs (new; no reference analog) ---
     engine: str = "auto"             # "packet" | "wavefront" | "auto"
     packet_kernel: str = "wide"      # "wide" (8-ary short-stack) | "binary"
-    leaf_mode: str = "scalar"        # wide-kernel leaf data path: "scalar"
-                                     # | "dma" | "dmastatic" (all measured
-                                     # within noise on bunny-class)
+    leaf_mode: str = "dma2"          # wide-kernel leaf data path: "dma2"
+                                     # double-buffered SMEM leaf groups
+                                     # (28.6 vs scalar's 32.4 ms r2) |
+                                     # "scalar" | "dma" | "dmastatic"
     node_src: str = ""               # wide node tables: "" auto | "smem" | "vmem"
     leaf_isect: str = "woop"         # leaf intersector/record format:
                                      # "woop" precomputed unit-tri affine
@@ -68,6 +69,9 @@ class Config:
     env_res: int = 256               # mode-0 env sampling height (W = 2H);
                                      # dense-MXU cost scales with H*W
     env_mip_res: int = 512           # mode-1 (textureGrad) atlas base height
+    env_aniso: int = 4               # which=1 anisotropy probes (GL
+                                     # MAX_ANISOTROPY 4, ray.cpp:505-508);
+                                     # 1 = isotropic trilinear
     ray_tile: int = 4096             # rays per Pallas grid step (best with
                                      # multi-pop walks; 2048 was best at pops=1)
     packet_fused: bool = True        # fuse bounce+shadow pipeline into ONE
@@ -90,6 +94,7 @@ class Config:
         c.bvh_max_depth = _env_int("BVH_MAX_DEPTH", c.bvh_max_depth)
         c.bvh_leaf_max = _env_int("BVH_LEAF_MAX", c.bvh_leaf_max)
         c.sah_ctrav = _env_float("SAH_CTRAV", c.sah_ctrav)
+        c.max_leaf_tests = _env_int("SRT_MAX_LEAF_TESTS", c.max_leaf_tests)
         c.sah_cisec = _env_float("SAH_CISEC", c.sah_cisec)
         c.colors_are_linear = os.environ.get("COLORS_ARE_LINEAR") is not None
         c.geometry_scale = _env_float("GEOMETRY_SCALE", c.geometry_scale)
@@ -109,6 +114,7 @@ class Config:
             raise ValueError(f"SRT_COLLAPSE={c.collapse!r}: use 'sah' or 'greedy'")
         c.env_res = _env_int("SRT_ENV_RES", c.env_res)
         c.env_mip_res = _env_int("SRT_ENV_MIP_RES", c.env_mip_res)
+        c.env_aniso = _env_int("SRT_ENV_ANISO", c.env_aniso)
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)
         c.packet_fused = _env_int("SRT_FUSED", int(c.packet_fused)) != 0
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)

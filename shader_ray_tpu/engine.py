@@ -69,6 +69,10 @@ class Renderer:
             pack_kwargs = dict(
                 env_size=(cfg.env_res, 2 * cfg.env_res),
                 env_atlas_base=(cfg.env_mip_res, 2 * cfg.env_mip_res),
+                # honor the configured leaf-test budget (reference
+                # max_leaf_tests, fs:382) at pack time too — larger
+                # BVH_LEAF_MAX builds need matching slot capacity
+                max_leaf_tests=cfg.max_leaf_tests,
             )
             if cfg.packet_kernel == "wide":
                 from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide

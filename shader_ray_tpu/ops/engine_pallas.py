@@ -113,6 +113,7 @@ def _env_lookup(
             return sample_env_window_grad(
                 planes, D, gx, gy,
                 tile=tile, interpret=interpret, prefolded=prefolded,
+                aniso=getattr(statics, "env_aniso", 1),
             )
         H0, W0 = packed.env_atlas_base
         return sample_env_mxu_mip(packed.env_atlas, H0, W0, D, gx, gy)

@@ -84,14 +84,54 @@ def _bilinear_level(scene: DeviceScene, level: jnp.ndarray, u, v):
     return top * (1 - fy) + bot * fy
 
 
+ANISO_PROBES = 4  # probe count for the aniso approximation (GL
+                  # MAX_ANISOTROPY 4, ray.cpp:505-508)
+
+
+def aniso_lod_and_probes(rho_x, rho_y, dudx, dvdx, dudy, dvdy, aniso: int):
+    """Shared anisotropic-sampler approximation (used verbatim by BOTH
+    the wavefront oracle and the windowed Pallas path so they agree):
+
+      N_eff = clip(rho_max / rho_min, 1, aniso)
+      lod   = log2(rho_max / N_eff) = log2(max(rho_min, rho_max/aniso))
+      probes: ANISO_PROBES taps at t_i = ((i+.5)/P - .5)*(1 - 1/N_eff)
+              along the MAJOR gradient axis, equal 1/P weights
+              (N_eff = 1 collapses every tap to the center — exact
+              isotropic trilinear).
+
+    Returns (rho_eff, [(tu_i, tv_i)] uv offsets)."""
+    use_x = rho_x >= rho_y
+    rho_max = jnp.maximum(rho_x, rho_y)
+    rho_min = jnp.minimum(rho_x, rho_y)
+    n_eff = jnp.clip(
+        rho_max / jnp.maximum(rho_min, 1e-12), 1.0, float(aniso)
+    )
+    rho_eff = jnp.maximum(rho_min, rho_max / float(aniso))
+    du_maj = jnp.where(use_x, dudx, dudy)
+    dv_maj = jnp.where(use_x, dvdx, dvdy)
+    spread = 1.0 - 1.0 / n_eff
+    offs = []
+    for i in range(ANISO_PROBES):
+        t = ((i + 0.5) / ANISO_PROBES - 0.5) * spread
+        offs.append((t * du_maj, t * dv_maj))
+    return rho_eff, offs
+
+
 def sample_environment(
     scene: DeviceScene,
     D: jnp.ndarray,
     dDdx: jnp.ndarray,
     dDdy: jnp.ndarray,
     which: int = 0,
+    aniso: int = 1,
 ) -> jnp.ndarray:
-    """sample_environment (fs:127-155). D: (R, 3) unit directions."""
+    """sample_environment (fs:127-155). D: (R, 3) unit directions.
+
+    ``aniso > 1`` enables the anisotropic-filtering approximation of
+    the reference's GL sampler state (LINEAR_MIPMAP_LINEAR +
+    MAX_ANISOTROPY 4, ray.cpp:505-508): probe taps along the major
+    footprint axis at the minor-axis LOD; ``aniso=1`` is the isotropic
+    max-rho trilinear."""
     u, v = env_coords(D)
 
     if which == 2:
@@ -104,25 +144,36 @@ def sample_environment(
 
     if which == 1:
         dudx, dvdx, dudy, dvdy = env_derivatives(D, dDdx, dDdy)
-        # GL textureGrad LOD: log2 of the max screen-space footprint in
-        # texels at the base level (isotropic approximation of the
-        # GL_LINEAR_MIPMAP_LINEAR + anisotropy-4 sampler state).
+        # GL textureGrad LOD: log2 of the screen-space footprint in
+        # texels at the base level (GL_LINEAR_MIPMAP_LINEAR).
         h0 = scene.env_table[0, 1].astype(jnp.float32)
         w0 = scene.env_table[0, 2].astype(jnp.float32)
         rho_x = jnp.sqrt((dudx * w0) ** 2 + (dvdx * h0) ** 2)
         rho_y = jnp.sqrt((dudy * w0) ** 2 + (dvdy * h0) ** 2)
-        rho = jnp.maximum(rho_x, rho_y)
         n_levels = scene.num_env_levels
-        lod = jnp.clip(
-            jnp.log2(jnp.maximum(rho, 1e-12)), 0.0, float(n_levels - 1)
+
+        def trilinear(ui, vi, rho):
+            lod = jnp.clip(
+                jnp.log2(jnp.maximum(rho, 1e-12)), 0.0, float(n_levels - 1)
+            )
+            l0 = jnp.floor(lod).astype(jnp.int32)
+            frac = (lod - l0.astype(jnp.float32))[..., None]
+            c0 = _bilinear_level(scene, l0, ui, vi)
+            c1 = _bilinear_level(
+                scene, jnp.minimum(l0 + 1, n_levels - 1), ui, vi
+            )
+            return c0 * (1 - frac) + c1 * frac
+
+        if aniso <= 1:
+            return trilinear(u, v, jnp.maximum(rho_x, rho_y))
+        rho_eff, offs = aniso_lod_and_probes(
+            rho_x, rho_y, dudx, dvdx, dudy, dvdy, aniso
         )
-        l0 = jnp.floor(lod).astype(jnp.int32)
-        frac = (lod - l0.astype(jnp.float32))[..., None]
-        c0 = _bilinear_level(scene, l0, u, v)
-        c1 = _bilinear_level(
-            scene, jnp.minimum(l0 + 1, n_levels - 1), u, v
-        )
-        return c0 * (1 - frac) + c1 * frac
+        acc = None
+        for tu, tv in offs:
+            c = trilinear(u + tu, v + tv, rho_eff)
+            acc = c if acc is None else acc + c
+        return acc / float(len(offs))
 
     # default: sample base level, no derivatives (fs:153)
     return _bilinear_level(scene, jnp.zeros(u.shape, jnp.int32), u, v)

@@ -563,14 +563,25 @@ def sample_env_window_grad(
     interpret: bool = False,
     with_levels: bool = False,
     prefolded: bool = False,
+    aniso: int = 1,
 ):
     """textureGrad-equivalent windowed TRILINEAR sample (fs:146, GL
     LINEAR_MIPMAP_LINEAR): per-ray LOD from the analytic derivatives
-    (isotropic max-rho, matching ops/envmap.py:105-125), per-tile
-    window level pairs (env_window_body's grad mode).  Replaces the
-    dense 4-hot atlas matmul (envmxu.sample_env_mxu_mip) whose cost
-    scaled with the whole atlas — windows scale with footprint."""
-    from shader_ray_tpu.ops.envmap import env_coords, env_derivatives
+    (matching ops/envmap.py), per-tile window level pairs
+    (env_window_body's grad mode).  Replaces the dense 4-hot atlas
+    matmul (envmxu.sample_env_mxu_mip) whose cost scaled with the
+    whole atlas — windows scale with footprint.
+
+    ``aniso > 1``: the GL-sampler-state anisotropy approximation
+    (ray.cpp:505-508) — ANISO_PROBES taps along the major footprint
+    axis at the minor-axis LOD, each tap one windowed-trilinear pass
+    with its own per-tile footprint stats, averaged.  Uses the same
+    aniso_lod_and_probes formula as the wavefront oracle."""
+    from shader_ray_tpu.ops.envmap import (
+        aniso_lod_and_probes,
+        env_coords,
+        env_derivatives,
+    )
 
     D, R = _pad_dirs(D, tile, prefolded)
     pad = D.shape[0] - R
@@ -583,11 +594,33 @@ def sample_env_window_grad(
     H0, W0 = planes.base
     rho_x = jnp.sqrt((dudx * W0) ** 2 + (dvdx * H0) ** 2)
     rho_y = jnp.sqrt((dudy * W0) ** 2 + (dvdy * H0) ** 2)
-    rho = jnp.maximum(rho_x, rho_y)
-    lod = jnp.clip(
-        jnp.log2(jnp.maximum(rho, 1e-12)), 0.0, float(planes.n_levels - 1)
+
+    def lod_of(rho):
+        return jnp.clip(
+            jnp.log2(jnp.maximum(rho, 1e-12)),
+            0.0,
+            float(planes.n_levels - 1),
+        )
+
+    if aniso <= 1:
+        return _run_window_kernel(
+            planes, [u, v, lod_of(jnp.maximum(rho_x, rho_y))], R, tile,
+            interpret, with_levels, prefolded, grad=True,
+        )
+
+    rho_eff, offs = aniso_lod_and_probes(
+        rho_x, rho_y, dudx, dvdx, dudy, dvdy, aniso
     )
-    return _run_window_kernel(
-        planes, [u, v, lod], R, tile, interpret, with_levels, prefolded,
-        grad=True,
-    )
+    lod = lod_of(rho_eff)
+    acc = None
+    lvl = None
+    for tu, tv in offs:
+        out = _run_window_kernel(
+            planes, [u + tu, v + tv, lod], R, tile, interpret,
+            with_levels, prefolded, grad=True,
+        )
+        if with_levels:
+            out, lvl = out
+        acc = out if acc is None else acc + out
+    acc = acc / float(len(offs))
+    return (acc, lvl) if with_levels else acc

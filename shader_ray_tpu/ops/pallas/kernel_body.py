@@ -152,7 +152,9 @@ def leaf_tests(
     rec = jax.lax.switch(
         sub,
         [
-            (lambda s=s: block[0:LEAF_SLOTS, s * record : (s + 1) * record])
+            # slice the full GROUP_ROWS (not LEAF_SLOTS): leaf budgets
+            # above 10 (SRT_MAX_LEAF_TESTS) index slot rows up to 16
+            (lambda s=s: block[0:GROUP_ROWS, s * record : (s + 1) * record])
             for s in range(per_group)
         ],
     )  # (10, record): slot-major triangle records

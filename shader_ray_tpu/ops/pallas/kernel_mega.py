@@ -14,10 +14,12 @@ kernel (kernel_wide.make_wide_walker), the shading math between walks
 is the same formulas as ops/shading.py inlined as vector ops, and the
 frame's per-object uniforms (matrices, light, material colors —
 reference ray.cpp:648-704) arrive as an SMEM scalar table whose reads
-splat for free.  Only the environment lookup stays outside (it is an
-MXU matmul, ops/pallas/envmxu.py): the kernel returns the accumulated
-color, the final modulation, and the final ray direction (plus its
-differentials for the textureGrad modes), and the caller finishes
+splat for free.  Only the environment lookup stays outside (its u/v
+math needs atan2/acos, which Mosaic does not lower; the windowed
+sampler envwin.py — or the dense MXU matmul envmxu.py — runs as its
+own pallas_call): the kernel returns the accumulated color, the final
+modulation, and the final ray direction (plus its differentials for
+the textureGrad modes), and the caller finishes
 ``color = accumulated + modulation * env(D)``.
 
 Shadow rays share one direction (the object-space light), so their

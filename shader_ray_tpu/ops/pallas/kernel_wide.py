@@ -320,6 +320,60 @@ def make_wide_walker(
         # per-visit lax.cond (measured +1.3 ms, CLAUDE.md)
         if leaf_mode != "skip":
             gate = r["act"] & alive
+            _, per_group = leaf_layout(isect)
+
+            def head_meta(lb):
+                """(p, cnt, lrow, tb) of the lowest set bit of ``lb``
+                (the nearest unprocessed hit leaf).  On lb == 0 the
+                ctz saturates at the top bit and the clamped meta
+                reads stay in-bounds (callers gate on lb != 0)."""
+                p = jnp.int32(0)
+                half = (WIDE * pops) // 2
+                while half >= 1:
+                    m = (1 << half) - 1
+                    p = p + jnp.where(((lb >> p) & m) != 0, 0, half)
+                    half //= 2
+                # select the owning popped node's order/meta
+                orderw_sel = nodes[0]["orderw"]
+                g_sel = nodes[0]["g"]
+                for j in range(1, pops):
+                    is_j = (p // WIDE) == j
+                    orderw_sel = jnp.where(
+                        is_j, nodes[j]["orderw"], orderw_sel
+                    )
+                    g_sel = jnp.where(is_j, nodes[j]["g"], g_sel)
+                ck = (orderw_sel >> (3 * (p % WIDE))) & 7
+                if node_src == "vmem":
+                    meta = nodes[0]["cmeta_rd"](ck)
+                    for j in range(1, pops):
+                        meta = jnp.where(
+                            (p // WIDE) == j,
+                            nodes[j]["cmeta_rd"](ck),
+                            meta,
+                        )
+                else:
+                    meta = cmeta_ref[g_sel * WIDE + ck]
+                cnt = (meta >> 26) & 0x1F
+                lrow = meta & 0x3FFFFFF
+                tb = tribase_ref[lrow] if track_which else jnp.int32(0)
+                return p, cnt, lrow, tb
+
+            def leaf_dma(lrow, parity):
+                """Copy ``lrow``'s 16-row leaf group into this walk's
+                buffer half ``parity`` (0/1, may be traced)."""
+                grp = lrow // per_group
+                dst = pl.multiple_of(
+                    (w * 2 + parity) * GROUP_ROWS, GROUP_ROWS
+                )
+                return pltpu.make_async_copy(
+                    leaves_ref.at[
+                        pl.ds(pl.multiple_of(grp * GROUP_ROWS,
+                                             GROUP_ROWS),
+                              GROUP_ROWS), :
+                    ],
+                    leafbuf_ref.at[pl.ds(dst, GROUP_ROWS), :],
+                    sems_ref.at[w * 2 + parity],
+                )
 
             def lcond(s):
                 return s[0] != 0
@@ -327,56 +381,15 @@ def make_wide_walker(
             def make_lbody(slots):
                 def lbody(s):
                     lb, leafs_, t_, which_, nx_, ny_, nz_ = s
-                    # count-trailing-zeros of the (8*pops)-bit mask
-                    p = jnp.int32(0)
-                    half = (WIDE * pops) // 2
-                    while half >= 1:
-                        m = (1 << half) - 1
-                        p = p + jnp.where(((lb >> p) & m) != 0, 0, half)
-                        half //= 2
-                    # select the owning popped node's order/meta
-                    orderw_sel = nodes[0]["orderw"]
-                    g_sel = nodes[0]["g"]
-                    for j in range(1, pops):
-                        is_j = (p // WIDE) == j
-                        orderw_sel = jnp.where(
-                            is_j, nodes[j]["orderw"], orderw_sel
-                        )
-                        g_sel = jnp.where(is_j, nodes[j]["g"], g_sel)
-                    ck = (orderw_sel >> (3 * (p % WIDE))) & 7
-                    if node_src == "vmem":
-                        meta = nodes[0]["cmeta_rd"](ck)
-                        for j in range(1, pops):
-                            meta = jnp.where(
-                                (p // WIDE) == j,
-                                nodes[j]["cmeta_rd"](ck),
-                                meta,
-                            )
-                    else:
-                        meta = cmeta_ref[g_sel * WIDE + ck]
-                    cnt = (meta >> 26) & 0x1F
-                    lrow = meta & 0x3FFFFFF
-                    tb = tribase_ref[lrow] if track_which else jnp.int32(0)
+                    p, cnt, lrow, tb = head_meta(lb)
                     if leaf_mode in ("dma", "dmastatic"):
-                        _, per_group = leaf_layout(isect)
-                        grp = lrow // per_group
                         sub = lrow % per_group
-                        dma = pltpu.make_async_copy(
-                            leaves_ref.at[
-                                pl.ds(pl.multiple_of(grp * GROUP_ROWS,
-                                                     GROUP_ROWS),
-                                      GROUP_ROWS), :
-                            ],
-                            leafbuf_ref.at[
-                                pl.ds(w * GROUP_ROWS, GROUP_ROWS), :
-                            ],
-                            sems_ref.at[w],
-                        )
+                        dma = leaf_dma(lrow, 0)
                         dma.start()
                         dma.wait()
                         if leaf_mode == "dmastatic":
                             t_, which_, nx_, ny_, nz_ = leaf_tests_smem_static(
-                                leafbuf_ref, w, r, sub, tb, cnt, gate,
+                                leafbuf_ref, w * 2, r, sub, tb, cnt, gate,
                                 t_, which_, nx_, ny_, nz_, mt_eps,
                                 leaf_slots=slots,
                                 occlusion=any_hit,
@@ -385,7 +398,7 @@ def make_wide_walker(
                             )
                         else:
                             t_, which_, nx_, ny_, nz_ = leaf_tests_smem(
-                                leafbuf_ref, w, r, sub, tb, cnt, gate,
+                                leafbuf_ref, w * 2, r, sub, tb, cnt, gate,
                                 t_, which_, nx_, ny_, nz_, mt_eps,
                                 occlusion=any_hit,
                                 isect=isect,
@@ -405,25 +418,81 @@ def make_wide_walker(
                             t_, which_, nx_, ny_, nz_)
                 return lbody
 
+            def make_lbody2(slots):
+                """Double-buffered leaf pipeline ("dma2"): issue the
+                NEXT leaf's group DMA into the other buffer half
+                before testing the current one from SMEM — hides the
+                copy latency that made the round-2/3 "dma" modes lose
+                to VMEM scalar extraction, while keeping the
+                extraction-free SMEM loads."""
+                def lbody(s):
+                    (lb, clrow, ccnt, ctb, par, _has, leafs_,
+                     t_, which_, nx_, ny_, nz_) = s
+                    pn, ncnt, nlrow, ntb = head_meta(lb)
+                    hasn = lb != 0
+
+                    @pl.when(hasn)
+                    def _():
+                        leaf_dma(nlrow, 1 - par).start()
+
+                    leaf_dma(clrow, par).wait()
+                    sub = clrow % per_group
+                    t_, which_, nx_, ny_, nz_ = leaf_tests_smem_static(
+                        leafbuf_ref, w * 2 + par, r, sub, ctb, ccnt,
+                        gate, t_, which_, nx_, ny_, nz_, mt_eps,
+                        leaf_slots=slots,
+                        occlusion=any_hit,
+                        isect=isect,
+                        track_which=track_which,
+                    )
+                    return (
+                        jnp.where(hasn, lb & ~(1 << pn), lb),
+                        nlrow, ncnt, ntb, 1 - par, hasn, leafs_ + 1,
+                        t_, which_, nx_, ny_, nz_,
+                    )
+                return lbody
+
+            def run_class(bits, slots, leafs, t, which, nx, ny, nz):
+                if leaf_mode != "dma2":
+                    _, leafs, t, which, nx, ny, nz = jax.lax.while_loop(
+                        lcond, make_lbody(slots),
+                        (bits, leafs, t, which, nx, ny, nz),
+                    )
+                    return leafs, t, which, nx, ny, nz
+                p0, c0, l0, tb0 = head_meta(bits)
+                has0 = bits != 0
+
+                @pl.when(has0)
+                def _():
+                    leaf_dma(l0, 0).start()
+
+                out = jax.lax.while_loop(
+                    lambda s: s[5],
+                    make_lbody2(slots),
+                    (
+                        jnp.where(has0, bits & ~(1 << p0), bits),
+                        l0, c0, tb0, jnp.int32(0), has0, leafs,
+                        t, which, nx, ny, nz,
+                    ),
+                )
+                return out[6], out[7], out[8], out[9], out[10], out[11]
+
             tiny = min(leaf_slots_tiny, leaf_slots)
             small = min(leaf_slots_small, leaf_slots)
             if tiny < small:
                 tbits = leafbits & ~overtiny_perm
-                _, leafs, t, which, nx, ny, nz = jax.lax.while_loop(
-                    lcond, make_lbody(tiny),
-                    (tbits, leafs, t, which, nx, ny, nz),
+                leafs, t, which, nx, ny, nz = run_class(
+                    tbits, tiny, leafs, t, which, nx, ny, nz
                 )
                 leafbits = leafbits & overtiny_perm
             if small < leaf_slots:
                 sbits = leafbits & ~large_perm
-                _, leafs, t, which, nx, ny, nz = jax.lax.while_loop(
-                    lcond, make_lbody(small),
-                    (sbits, leafs, t, which, nx, ny, nz),
+                leafs, t, which, nx, ny, nz = run_class(
+                    sbits, small, leafs, t, which, nx, ny, nz
                 )
                 leafbits = leafbits & large_perm
-            _, leafs, t, which, nx, ny, nz = jax.lax.while_loop(
-                lcond, make_lbody(leaf_slots),
-                (leafbits, leafs, t, which, nx, ny, nz),
+            leafs, t, which, nx, ny, nz = run_class(
+                leafbits, leaf_slots, leafs, t, which, nx, ny, nz
             )
 
         # pass 2, far-to-near: push hit internal children (nearest on

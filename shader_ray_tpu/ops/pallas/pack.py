@@ -162,6 +162,10 @@ def pack_leaf_groups(
     picks the record format: "mt" raw vertices, "woop" precomputed
     unit-triangle affines (leaf_layout)."""
     record, per_group = leaf_layout(isect)
+    assert max_leaf_tests <= GROUP_ROWS, (
+        f"max_leaf_tests={max_leaf_tests} exceeds the {GROUP_ROWS}-row "
+        "leaf group (slot rows)"
+    )
     n = data.group_count
     is_leaf = data.node_objects[:, 1] > 0
     leaf_ids = np.nonzero(is_leaf)[0]

@@ -213,8 +213,9 @@ def packet_shade(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((stack_depth,), jnp.int32),
-            pltpu.SMEM((16, scene.leaves.shape[1]), jnp.float32),
-            pltpu.SemaphoreType.DMA((1,)),
+            # two 16-row leaf-group halves (dma2 double-buffer)
+            pltpu.SMEM((2 * 16, scene.leaves.shape[1]), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((pops * 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((pops,)),
         ],

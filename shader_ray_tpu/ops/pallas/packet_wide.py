@@ -174,8 +174,9 @@ def packet_trace_wide(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((walks * stack_depth,), jnp.int32),
-            pltpu.SMEM((walks * 16, scene.leaves.shape[1]), jnp.float32),
-            pltpu.SemaphoreType.DMA((walks,)),
+            # two 16-row leaf-group halves per walk (dma2 double-buffer)
+            pltpu.SMEM((walks * 2 * 16, scene.leaves.shape[1]), jnp.float32),
+            pltpu.SemaphoreType.DMA((walks * 2,)),
             pltpu.SMEM((walks * pops * 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((walks * pops,)),
         ],

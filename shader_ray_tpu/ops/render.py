@@ -79,6 +79,9 @@ class RenderStatics(NamedTuple):
     mt_eps: float = 1.0e-7
     surface_fudge: float = 1.0e-4
     tile_size: int = 16384      # rays per lax.map tile
+    env_aniso: int = 1          # which=1 anisotropy probe count (GL
+                                # MAX_ANISOTROPY 4, ray.cpp:505-508);
+                                # 1 = isotropic max-rho trilinear
 
     @staticmethod
     def from_config(cfg: Config | None = None, **overrides) -> "RenderStatics":
@@ -94,6 +97,7 @@ class RenderStatics(NamedTuple):
             do_tonemap=cfg.do_tonemap,
             mt_eps=cfg.mt_epsilon,
             surface_fudge=cfg.surface_fudge,
+            env_aniso=cfg.env_aniso,
         )
         base.update(overrides)
         return RenderStatics(**base)
@@ -268,7 +272,10 @@ def trace_rays(
         ])
         alive = hit_ok
 
-    env = envmap_ops.sample_environment(scene, r.D, r.dDdx, r.dDdy, statics.which)
+    env = envmap_ops.sample_environment(
+        scene, r.D, r.dDdx, r.dDdy, statics.which,
+        aniso=getattr(statics, "env_aniso", 1),
+    )
     color = accumulated + modulation * env
     # bad-hit lanes short-circuit to the debug color (fs:497-501,566-568)
     bad_color = jnp.array([1.0, 0.0, 0.0], f32)

@@ -351,3 +351,45 @@ def test_grad_frame_which1_vs_wavefront(env):
                             interpret=True, fused=True)
     )
     assert np.abs(got - ref).mean() < 0.02, np.abs(got - ref).mean()
+
+
+def test_grad_aniso_parity_and_behavior(env):
+    """Anisotropic probes (GL MAX_ANISOTROPY 4): windowed and
+    wavefront paths share aniso_lod_and_probes, so their which=1
+    outputs agree; and for an anisotropic footprint the aniso result
+    is sharper than isotropic (lower effective LOD)."""
+    from shader_ray_tpu.ops.envmap import env_coords
+    from shader_ray_tpu.ops.pallas.envwin import sample_env_window_grad
+
+    planes = pack_env_planes(env, base=(128, 256))
+    u, v = _uv_grid(0.73, 0.42, 0.015, 0.015, n=64)
+    D = _dirs_from_uv(u, v)
+    # strongly anisotropic footprint: wide in x, narrow in y
+    gx = np.tile(np.array([[0.0, 0.0, 16.0 / 256.0]], np.float32), (4096, 1))
+    gy = np.tile(np.array([[0.0, 1.0 / 128.0, 0.0]], np.float32), (4096, 1))
+    iso = np.asarray(sample_env_window_grad(
+        planes, jnp.asarray(D), jnp.asarray(gx), jnp.asarray(gy),
+        tile=4096, interpret=True, aniso=1,
+    ))
+    an4 = np.asarray(sample_env_window_grad(
+        planes, jnp.asarray(D), jnp.asarray(gx), jnp.asarray(gy),
+        tile=4096, interpret=True, aniso=4,
+    ))
+    assert not np.allclose(iso, an4, atol=1e-3)  # aniso changes output
+
+    # engine parity: wavefront which=1 with the same aniso setting
+    from shader_ray_tpu.ops.envmap import sample_environment
+    from shader_ray_tpu.ops.scene import upload_scene
+    from shader_ray_tpu.models.fixtures import single_triangle
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import get_shader_data, make_world
+
+    data = get_shader_data(make_world(TriangleSet.from_arrays(single_triangle())))
+    scene = upload_scene(data, env)
+    ref = np.asarray(sample_environment(
+        scene, jnp.asarray(D), jnp.asarray(gx), jnp.asarray(gy),
+        which=1, aniso=4,
+    ))
+    # the two paths build their pyramids independently (pow2 resample
+    # vs atlas) — compare loosely
+    np.testing.assert_allclose(an4, ref, rtol=0.12, atol=0.12)

@@ -269,7 +269,7 @@ def test_leaf_data_paths_match(bumpy, rng, leaf_mode):
     np.testing.assert_array_equal(np.asarray(a.which), np.asarray(b.which))
 
 
-@pytest.mark.parametrize("leaf_mode", ["scalar", "dmastatic", "dma"])
+@pytest.mark.parametrize("leaf_mode", ["scalar", "dmastatic", "dma", "dma2"])
 def test_woop_isect_matches_mt(bumpy, rng, leaf_mode):
     """The woop precomputed-affine intersector (VERDICT r1 next #1)
     agrees with raw-vertex Moller-Trumbore: same hit classification,
@@ -352,3 +352,38 @@ def test_vmem_node_tier_multi_pop(bumpy, rng, pops):
     np.testing.assert_array_equal(
         np.asarray(occ.t) < 1e7, np.asarray(ga.t) < 1e7
     )
+
+
+def test_leaf_budget_16(bumpy, rng):
+    """BVH leaves above the reference's 10-triangle budget work when
+    max_leaf_tests is raised to match (SRT_MAX_LEAF_TESTS; slot rows
+    go to the full 16-row leaf group)."""
+    from shader_ray_tpu.config import Config, set_config, get_config
+    from shader_ray_tpu.models.fixtures import uv_sphere
+
+    old = get_config()
+    cfg = Config()
+    cfg.bvh_leaf_max = 16
+    cfg.max_leaf_tests = 16
+    set_config(cfg)
+    try:
+        pos, _ = uv_sphere(lat=24, lon=36)
+        data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+        assert data.node_objects[:, 1].max() > 10  # bigger leaves exist
+        packed = pack_scene_wide(
+            data, procedural_sky(64), max_leaf_tests=16, isect="mt"
+        )
+        assert packed.max_count > 10
+        scene = upload_scene(data, procedural_sky(64))
+        P, D = _random_rays(rng, 512)
+        ref = traverse(
+            scene, jnp.asarray(P), jnp.asarray(D), max_leaf_tests=16
+        )
+        got = packet_trace_wide(
+            packed, jnp.asarray(P), jnp.asarray(D), tile=1024,
+            interpret=True,
+        )
+        np.testing.assert_allclose(got.t, ref.t, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(got.which, ref.which)
+    finally:
+        set_config(old)

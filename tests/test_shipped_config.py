@@ -28,7 +28,7 @@ def test_shipped_production_tuple_matches_wavefront():
     prod = Config()  # dataclass defaults = the shipped config
     assert (prod.packet_fused, prod.walk_pops, prod.ray_tile,
             prod.leaf_mode, prod.leaf_isect, prod.collapse) == (
-        True, 4, 4096, "scalar", "woop", "sah",
+        True, 4, 4096, "dma2", "woop", "sah",
     ), "shipped defaults changed — update this test to the new tuple"
 
     old = get_config()
