@@ -40,7 +40,7 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "5"))
 # batch (the REPL's `prog N`) renders N jittered frames in ONE device
 # dispatch, amortizing the ~40 ms axon host round-trip that otherwise
 # dominates a 1024x768 frame.  BENCH_BATCH=1 times bare single frames.
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 TARGET_MRAYS = 200.0
 
 
@@ -173,19 +173,19 @@ def main() -> None:
     if rays_cast is not None:
         out["rays_cast"] = rays_cast
         out["mrays_per_s_cast"] = round(rays_cast / t / 1e6, 2)
-    print(json.dumps(out))
 
     # second metric (VERDICT r1 next #8): an occlusion-HEAVY scene —
     # ridged terrain under a grazing light, where shadow rays hit real
     # occluders (the blob's shadows are ~all unoccluded) — so shadow
     # early-exit and BVH-quality work is measured on geometry shaped
-    # like the canonical bunny workload's cavities.
+    # like the canonical bunny workload's cavities.  Nested inside the
+    # single headline JSON line (the driver parses exactly one).
     if os.environ.get("BENCH_OCCLUDED", "1") != "0":
         try:
-            occ = bench_occluded(statics, fov)
-            print(json.dumps(occ))
+            out["occluded"] = bench_occluded(statics, fov)
         except Exception as e:  # the headline must never sink with it
             print(f"occluded bench failed: {e}", file=sys.stderr)
+    print(json.dumps(out))
 
 
 def bench_occluded(statics, fov) -> dict:

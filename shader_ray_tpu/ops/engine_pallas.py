@@ -31,6 +31,7 @@ import numpy as np
 
 from shader_ray_tpu.ops.pallas.envmxu import sample_env_mxu, sample_env_mxu_mip
 from shader_ray_tpu.ops.pallas.kernel_mega import (
+    UNI_CAM_ORIGIN,
     UNI_DIFFUSE,
     UNI_LIGHT_DIR,
     UNI_NORMAL_INVERSE,
@@ -82,6 +83,12 @@ def _pack_uniforms(params: FrameParams) -> jnp.ndarray:
     )
     uni = uni.at[UNI_DIFFUSE : UNI_DIFFUSE + 3].set(
         f32(params.diffuse_color).reshape(-1)
+    )
+    # world camera position (shared_origin scalar-origin bounce 0)
+    uni = uni.at[UNI_CAM_ORIGIN : UNI_CAM_ORIGIN + 3].set(
+        transform_point(
+            params.camera_matrix, jnp.zeros(3, jnp.float32)
+        ).reshape(-1)
     )
     return uni
 
@@ -137,6 +144,7 @@ def _trace_rays_packet_fused(
     with_counts: bool,
     prefolded: bool,
     leaf_mode: str | None,
+    shared_origin: bool = False,
 ):
     """Fused fast path: ONE pallas_call runs the whole bounce/shadow
     pipeline (ops/pallas/kernel_mega.py), then the env term and final
@@ -161,6 +169,7 @@ def _trace_rays_packet_fused(
         leaf_mode=leaf_mode or "scalar",
         interpret=interpret,
         prefolded=prefolded,
+        shared_origin=shared_origin,
     )
     env = _env_lookup(
         packed, statics, res.D, res.gx, res.gy,
@@ -187,6 +196,7 @@ def trace_rays_packet(
     prefolded: bool = False,
     leaf_mode: str | None = None,
     fused: bool = False,
+    shared_origin: bool = False,
 ) -> jnp.ndarray:
     """The 3-bounce trace loop over a full ray batch -> linear color.
 
@@ -200,6 +210,7 @@ def trace_rays_packet(
         return _trace_rays_packet_fused(
             packed, rays, params, statics, tile, interpret, max_steps,
             with_counts, prefolded, leaf_mode,
+            shared_origin=shared_origin,
         )
     R = rays.P.shape[0]
     f32 = jnp.float32
@@ -381,7 +392,7 @@ def _laned_pixel_coords(H, W, bh, bw, tile, fold):
 
 def _make_trace(packed, params, statics, tile, interpret, interleave,
                 max_steps, mesh, prefolded=False, leaf_mode=None,
-                fused=True):
+                fused=True, shared_origin=False):
     """Trace closure over a (R, 3)-column Rays batch; when ``mesh`` is
     given, shard the batch 1-D over its ``("rays",)`` axis with
     shard_map — scene tables and params replicated, zero collectives in
@@ -392,7 +403,7 @@ def _make_trace(packed, params, statics, tile, interpret, interleave,
         return trace_rays_packet(
             packed_, rays_, params_, statics, tile, interpret, interleave,
             max_steps, prefolded=prefolded, leaf_mode=leaf_mode,
-            fused=fused,
+            fused=fused, shared_origin=shared_origin,
         )
 
     if mesh is None:
@@ -468,6 +479,10 @@ def render_frame_packet(
     trace_batch = _make_trace(
         packed, params, statics, tile, interpret, interleave, max_steps,
         mesh, prefolded, leaf_mode, fused,
+        # frame rays are pinhole primaries: every lane starts at the
+        # camera, so the fused kernel carries the origin as scalars
+        # through bounce 0 (kernel_mega shared_origin)
+        shared_origin=True,
     )
 
     if statics.which == 3:
@@ -494,20 +509,29 @@ def render_frame_packet(
                 [jnp.zeros(()), params.image_plane_width * (H / W) / H, jnp.zeros(())]
             ),
         )
-        acc = jnp.zeros_like(rays.P)
         n = 5
-        for i in range(n):
-            for j in range(n):
-                du = i / n - 0.5
-                dv = j / n - 0.5
-                Ds = normalize(rays.D + du * 0.2 * right + dv * 0.2 * up)
-                dDdx = right - vdot(Ds, right)[..., None] * Ds
-                dDdy = up - vdot(Ds, up)[..., None] * Ds
-                sub = Rays(
-                    P=rays.P, D=Ds, dPdx=jnp.zeros_like(Ds), dDdx=dDdx,
-                    dPdy=jnp.zeros_like(Ds), dDdy=dDdy,
-                )
-                acc = acc + trace_batch(sub)
+        offs = jnp.array(
+            [(i / n - 0.5, j / n - 0.5) for i in range(n) for j in range(n)],
+            jnp.float32,
+        )
+
+        # scan (not a Python loop): unrolling 25 copies of the full
+        # trace pipeline into one program crashed the TPU backend at
+        # 1024x768 (INTERNAL error) and made compiles enormous — the
+        # scan body traces the pipeline ONCE
+        def sample(acc, dudv):
+            Ds = normalize(
+                rays.D + dudv[0] * 0.2 * right + dudv[1] * 0.2 * up
+            )
+            dDdx = right - vdot(Ds, right)[..., None] * Ds
+            dDdy = up - vdot(Ds, up)[..., None] * Ds
+            sub = Rays(
+                P=rays.P, D=Ds, dPdx=jnp.zeros_like(Ds), dDdx=dDdx,
+                dPdy=jnp.zeros_like(Ds), dDdy=dDdy,
+            )
+            return acc + trace_batch(sub), None
+
+        acc, _ = jax.lax.scan(sample, jnp.zeros_like(rays.P), offs)
         color = acc / (n * n)
     else:
         color = trace_batch(rays)

@@ -60,7 +60,11 @@ def slot_hit(e, r, t, d_lo, d_hi, mt_eps, isect: str):
         dz = nx_ * Dx + ny_ * Dy + nz_ * Dz      # == -det_MT
         oz = nx_ * Px + ny_ * Py + nz_ * Pz + e(3)
         ok = jnp.abs(dz) >= mt_eps
-        rcp = -1.0 / jnp.where(ok, dz, 1.0)
+        # no zero-guard on the divide: dz == 0 gives inf/NaN d and
+        # u/v, every comparison with them is False, and ``ok`` is
+        # already False from the eps test — the accept mask keeps
+        # poisoned lanes out of all outputs
+        rcp = -1.0 / dz
         d = oz * rcp
         ok = ok & (d <= t) & (d >= d_lo)
         if not (isinstance(d_hi, float) and d_hi >= INFINITELY_FAR):
@@ -86,8 +90,9 @@ def slot_hit(e, r, t, d_lo, d_hi, mt_eps, isect: str):
     Mz = e1x * Dy - e1y * Dx
     det = e0x * Mx + e0y * My + e0z * Mz
     ok = jnp.abs(det) >= mt_eps
-    # fold the d-negation into the reciprocal (one fewer vector op)
-    minv_det = -1.0 / jnp.where(ok, det, 1.0)
+    # fold the d-negation into the reciprocal; no zero-guard (see the
+    # woop branch comment — rejects mask any inf/NaN through)
+    minv_det = -1.0 / det
     inv_det = -minv_det
     Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
     Qx = Ty * e0z - Tz * e0y
@@ -165,7 +170,10 @@ def leaf_tests(
         # (1,1)->(F,C) two-axis broadcast; scalar splat is native
         e = lambda c: jnp.sum(rec[k : k + 1, c : c + 1])
         ok, d, u, v = slot_hit(e, r, t, d_lo, d_hi, mt_eps, isect)
-        take = ok & mask & (k < lcount)
+        # no (k < lcount) mask: slots past the leaf's count hold
+        # all-zero records whose zero determinant/normal fails the
+        # eps accept already
+        take = ok & mask
 
         if occlusion:
             t = jnp.where(take, 0.0, t)

@@ -46,7 +46,8 @@ UNI_NORMAL_INVERSE = 21  # [:3,:3] row-major, object->world normals
 UNI_LIGHT_DIR = 30       # (3,) world light direction
 UNI_SPECULAR = 33        # (3,) specular color
 UNI_DIFFUSE = 36         # (3,) diffuse color
-UNI_SIZE = 40
+UNI_CAM_ORIGIN = 39      # (3,) world camera position (shared_origin)
+UNI_SIZE = 42
 
 
 def mega_kernel(
@@ -78,6 +79,7 @@ def mega_kernel(
     node_src: str = "smem",
     pops: int = 1,
     isect: str = "mt",
+    shared_origin: bool = False,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -118,7 +120,18 @@ def mega_kernel(
     oLz = nm[6] * Lx + nm[7] * Ly + nm[8] * Lz
 
     # --- ray state in registers ---
-    Px, Py, Pz = P_ref[0:F, :], P_ref[F : 2 * F, :], P_ref[2 * F :, :]
+    if shared_origin:
+        # pinhole primaries all start at the camera: carry the origin
+        # as SCALARS through bounce 0 — the leaf-test P-dots (oz/ou/ov
+        # affine rows, slot_hit) then run on the scalar unit instead
+        # of ~12 vector ops per triangle slot, exactly like the shadow
+        # walks' shared DIRECTION already does.  After the first
+        # transfer Px becomes a per-lane vector via broadcasting.
+        Px = u(UNI_CAM_ORIGIN)
+        Py = u(UNI_CAM_ORIGIN + 1)
+        Pz = u(UNI_CAM_ORIGIN + 2)
+    else:
+        Px, Py, Pz = P_ref[0:F, :], P_ref[F : 2 * F, :], P_ref[2 * F :, :]
     Dx, Dy, Dz = D_ref[0:F, :], D_ref[F : 2 * F, :], D_ref[2 * F :, :]
     if with_grads:
         gxx, gxy, gxz = gx_ref[0:F, :], gx_ref[F : 2 * F, :], gx_ref[2 * F :, :]

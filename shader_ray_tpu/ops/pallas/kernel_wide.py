@@ -103,13 +103,16 @@ def leaf_tests_smem_static(
     vector ops, measured round 3) AND the slots pipeline as in the
     "scalar" path — vs leaf_tests_smem's dynamic fori, whose per-slot
     loop overhead cost more than the skipped slots (round-2 "dma"
-    verdict).  Oversized slots are masked by ``k < lcount``."""
+    verdict).  Oversized slots hold all-zero records the eps accept
+    rejects (no count mask needed)."""
     record, _ = leaf_layout(isect)
     cbase = sub * record
     for k in range(leaf_slots):
         e = lambda c: buf[w * GROUP_ROWS + k, cbase + c]
         ok, d, u, v = slot_hit(e, r, t, 0.0, INFINITELY_FAR, mt_eps, isect)
-        take = ok & gate & (k < lcount)
+        # no (k < lcount) mask — padding slots are all-zero records
+        # the eps accept rejects
+        take = ok & gate
 
         if occlusion:
             t = jnp.where(take, 0.0, t)

@@ -73,6 +73,7 @@ def packet_shade(
     interpret: bool = False,
     prefolded: bool = False,
     pops: int | None = None,
+    shared_origin: bool = False,
 ) -> ShadeResult:
     """Fused bounce pipeline over a world-space ray batch.
 
@@ -153,6 +154,7 @@ def packet_shade(
         node_src=scene.node_src,
         pops=pops,
         isect=scene.isect,
+        shared_origin=shared_origin,
     )
 
     full = lambda shape: pl.BlockSpec(

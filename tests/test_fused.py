@@ -376,3 +376,24 @@ def test_fused_empty_scene():
     )
     assert img.shape == (32, 40, 3)
     assert np.isfinite(img).all()
+
+
+def test_packet_supersample_oracle_mode(packed):
+    """which==5 (the reference's 5x5 supersampled ground-truth mode,
+    fs:654-673) on the packet engine: implemented as a lax.scan over
+    the 25 subsamples (a 25x-unrolled pipeline crashed the TPU backend
+    at full res).  Close to 1-spp away from edges, different at edges."""
+    s1 = RenderStatics(width=32, height=32, which=0)
+    s5 = RenderStatics(width=32, height=32, which=5)
+    params = _params()
+    img1 = np.asarray(
+        render_frame_packet(packed, params, s1, tile=1024, interpret=True)
+    )
+    img5 = np.asarray(
+        render_frame_packet(packed, params, s5, tile=1024, interpret=True)
+    )
+    assert img5.shape == img1.shape
+    assert np.isfinite(img5).all()
+    close = np.all(np.abs(img5.astype(np.float32) - img1) < 3.0, axis=-1)
+    assert close.mean() > 0.7
+    assert not np.array_equal(img5, img1)

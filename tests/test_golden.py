@@ -80,3 +80,37 @@ def test_wide_packet_matches_golden(setup):
     )
     golden = np.load(GOLDEN)
     np.testing.assert_allclose(img, golden, atol=3e-2)
+
+
+def test_bench_golden_integrity():
+    """The committed 1024x768 bench-config goldens (which=0 production
+    frame + which=5 5x5 supersample oracle, box-downsampled 4x —
+    scripts/make_golden.py, VERDICT r1 next #7) load, match their
+    recorded checksums, and agree with each other: the supersampled
+    oracle is the reference's own ground-truth mode (fs:654-673), so
+    the 1-spp production frame must track it everywhere except
+    edge/aliasing pixels."""
+    import json
+    import os
+
+    import numpy as np
+
+    gdir = os.path.join(os.path.dirname(__file__), "golden")
+    meta_path = os.path.join(gdir, "bench_meta.json")
+    if not os.path.exists(meta_path):
+        import pytest
+
+        pytest.skip("bench goldens not generated yet (scripts/make_golden.py)")
+    meta = json.load(open(meta_path))
+    imgs = {}
+    for name, m in meta.items():
+        img = np.load(os.path.join(gdir, f"{name}.npy"))
+        assert list(img.shape) == m["shape"]
+        np.testing.assert_allclose(float(img.sum()), m["checksum"], rtol=1e-6)
+        imgs[name] = img
+    a = imgs["bench_which0"]
+    b = imgs["bench_which5_oracle"]
+    err = np.abs(a - b)  # u8-scale tonemapped values
+    assert err.mean() < 6.0, err.mean()  # 1-spp vs 25-spp: mean close
+    # most pixels within a few counts; edges may differ strongly
+    assert (err.max(axis=-1) < 12.0).mean() > 0.90
