@@ -206,7 +206,11 @@ def trace_rays_packet(
     (BASELINE.md accounting).  ``fused=True`` routes wide scenes
     through the single-pallas_call megakernel (interleave ignored
     there; the fused walk is single-chain)."""
-    if fused and isinstance(packed, PackedSceneWide) and statics.which in (0, 1, 2):
+    # which=5 (supersample oracle) traces exactly like which=0 — the
+    # 5x5 subsample loop lives in render_frame_packet, outside the
+    # trace — so it rides the fused megakernel too (the unfused wide
+    # path dies with an INTERNAL error on the axon chip; CPU-only A/B)
+    if fused and isinstance(packed, PackedSceneWide) and statics.which in (0, 1, 2, 5):
         return _trace_rays_packet_fused(
             packed, rays, params, statics, tile, interpret, max_steps,
             with_counts, prefolded, leaf_mode,

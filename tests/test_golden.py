@@ -110,7 +110,8 @@ def test_bench_golden_integrity():
         imgs[name] = img
     a = imgs["bench_which0"]
     b = imgs["bench_which5_oracle"]
-    err = np.abs(a - b)  # u8-scale tonemapped values
-    assert err.mean() < 6.0, err.mean()  # 1-spp vs 25-spp: mean close
-    # most pixels within a few counts; edges may differ strongly
-    assert (err.max(axis=-1) < 12.0).mean() > 0.90
+    # tonemapped 0-1 floats, 4x box-downsampled (averages edge noise);
+    # measured on-chip: mean err 2.2e-4, 99.97% of pixels within 0.02
+    err = np.abs(a - b)
+    assert err.mean() < 0.005, err.mean()
+    assert (err.max(axis=-1) < 0.04).mean() > 0.99
