@@ -161,7 +161,7 @@ def pack_env_planes(env: np.ndarray, base: tuple[int, int] = (1024, 2048)):
 
 def env_window_body(
     planes_ref, off_ref, h_ref, w_ref, blk_ref, win_ref, sems_ref,
-    u, v, *, n_levels: int, fold: int, lanes: int, lod=None,
+    u, v, *, n_levels: int, fold: int, lanes: int, lod=None, probes=None,
 ):
     """In-kernel windowed sample: u, v are (fold, lanes) f32 lat-long
     coords (u in [0.5, 1.5] REPEAT, v in [0, 1]).  Returns
@@ -184,24 +184,44 @@ def env_window_body(
     clamp(lod - l, 0, 1).  Exact GL trilinear whenever the lane's lod
     lands inside its pair (the common case: primary-escape packets
     have sub-level lod spread); outlier lanes clamp to the nearest
-    pair end.  FOUR windows total (12 channel DMAs)."""
+    pair end.  FOUR windows total (12 channel DMAs).
+
+    ``probes`` (grad mode only): list of per-lane (u_p, v_p) coord
+    pairs — the GL-aniso taps (ray.cpp:505-508).  All probes share the
+    SAME four windows, footprint stats, and level pairs (their offsets
+    inflate the fitting spans); each adds only its tent weights and
+    MXU contractions.  This replaces N separate sampler passes (N x
+    DMAs + stats + launches) with one."""
     f32 = jnp.float32
     i32 = jnp.int32
     F, C = fold, lanes
     inv_n = 1.0 / (F * C)
+    sfold = lambda x: x - jnp.where(x + 0.5 >= 1.5, 1.0, 0.0) + 0.5
 
     # --- footprint statistics in both seam phases ---
-    us = u + 0.5                         # phase B: seam rotated by 1/2
-    us = us - jnp.where(us >= 1.5, 1.0, 0.0)  # fold back into [0.5, 1.5)
-    umin, umax = jnp.min(u), jnp.max(u)
-    usmin, usmax = jnp.min(us), jnp.max(us)
+    us = sfold(u)                        # phase B: seam rotated by 1/2
+    if probes is None or len(probes) <= 1:
+        ulo = uhi = u
+        uslo = ushi = us
+        vlo = vhi = v
+    else:
+        # window fitting must cover every probe tap, not just the
+        # center coords: bound the per-lane coord range across probes
+        ulo = functools.reduce(jnp.minimum, [p[0] for p in probes])
+        uhi = functools.reduce(jnp.maximum, [p[0] for p in probes])
+        uslo = functools.reduce(jnp.minimum, [sfold(p[0]) for p in probes])
+        ushi = functools.reduce(jnp.maximum, [sfold(p[0]) for p in probes])
+        vlo = functools.reduce(jnp.minimum, [p[1] for p in probes])
+        vhi = functools.reduce(jnp.maximum, [p[1] for p in probes])
+    umin, umax = jnp.min(ulo), jnp.max(uhi)
+    usmin, usmax = jnp.min(uslo), jnp.max(ushi)
     span_a = umax - umin
     span_b = usmax - usmin
     mean_a = jnp.sum(u) * inv_n
     mean_b = jnp.sum(us) * inv_n
     var_a = jnp.maximum(jnp.sum(u * u) * inv_n - mean_a * mean_a, 0.0)
     var_b = jnp.maximum(jnp.sum(us * us) * inv_n - mean_b * mean_b, 0.0)
-    vmin, vmax = jnp.min(v), jnp.max(v)
+    vmin, vmax = jnp.min(vlo), jnp.max(vhi)
     vspan = vmax - vmin
     vmean = jnp.sum(v) * inv_n
     vvar = jnp.maximum(jnp.sum(v * v) * inv_n - vmean * vmean, 0.0)
@@ -237,10 +257,14 @@ def env_window_body(
         & (jnp.abs(v - vmean) <= 1.5 * vsig1 + 1e-6)
     )
     big = 1e9
-    ukmin = jnp.min(jnp.where(keep, ua, big))
-    ukmax = jnp.max(jnp.where(keep, ua, -big))
-    vkmin = jnp.min(jnp.where(keep, v, big))
-    vkmax = jnp.max(jnp.where(keep, v, -big))
+    # cluster bounds from the probe-inflated coord ranges (== ua/v
+    # when there are no probes)
+    ua_lo = jnp.where(phase_a > 0, uslo, ulo)
+    ua_hi = jnp.where(phase_a > 0, ushi, uhi)
+    ukmin = jnp.min(jnp.where(keep, ua_lo, big))
+    ukmax = jnp.max(jnp.where(keep, ua_hi, -big))
+    vkmin = jnp.min(jnp.where(keep, vlo, big))
+    vkmax = jnp.max(jnp.where(keep, vhi, -big))
     lvl_a = pick_level(ukmax - ukmin, vkmax - vkmin)
     ucenter_a = 0.5 * (ukmin + ukmax)
     vcenter_a = 0.5 * (vkmin + vkmax)
@@ -249,13 +273,13 @@ def env_window_body(
     col = jax.lax.broadcasted_iota(i32, (WIN_LANES, C), 0).astype(f32)
     row = jax.lax.broadcasted_iota(i32, (WIN_ROWS, C), 0).astype(f32)
 
-    def sample_window(widx, lvl, phase, center_u, center_v):
-        """DMA one (32, 256)-per-channel window at ``lvl``/``phase``
-        and bilinearly sample every lane from it.  ``center_*`` = None
-        bases the window on the packet min (cover semantics), else on
-        the given scalar center (cluster semantics).  Returns
-        (r, g, b, inside) — ``inside`` marks lanes whose 2x2 texel
-        footprint lies fully inside the window."""
+    def open_window(widx, lvl, phase, center_u, center_v):
+        """Start the 3 channel-window DMAs for one (64, 256) window at
+        ``lvl``/``phase`` and return its transform scalars.
+        ``center_*`` = None bases the window on the packet min (cover
+        semantics; probe-inflated lo/hi bounds), else on the given
+        scalar center (cluster semantics).  Sampling happens in
+        ``sample_from`` — possibly several times (aniso probes)."""
         Hl = h_ref[lvl]
         Wl = w_ref[lvl]
         blk = blk_ref[lvl]
@@ -263,23 +287,21 @@ def env_window_body(
         Hlf = Hl.astype(f32)
         Wlf = Wl.astype(f32)
 
-        up = jnp.where(phase > 0, us, u)
-        x = up * Wlf - 0.5
         # x is continuous in [Wl/2 - .5, 3Wl/2) (no per-lane wrap).
         # Fold the WHOLE packet by Wl only when the window anchor
         # passed Wl — a window straddling Wl lands in the plane's 128
         # wrap-guard lanes (span <= X_CAP < 128 keeps it inside)
-        y = (1.0 - v) * Hlf + 0.5  # +1 guard row, -0.5 texel center
         if center_u is None:
-            anchor_x = jnp.min(x)
-            anchor_y = jnp.min(y)
+            xl = jnp.where(phase > 0, uslo, ulo) * Wlf - 0.5
+            yl = (1.0 - vhi) * Hlf + 0.5  # +1 guard row, -0.5 center
+            anchor_x = jnp.min(xl)
+            anchor_y = jnp.min(yl)
         else:
             # center the window on the cluster mean (the -cap/2 shift
             # plus the 128/8 alignment floor lands it around center)
             anchor_x = center_u * Wlf - 0.5 - 0.5 * X_CAP
             anchor_y = (1.0 - center_v) * Hlf + 0.5 - 0.5 * Y_CAP
         fold_w = jnp.where(anchor_x >= Wlf, Wlf, 0.0)
-        x = x - fold_w
         anchor_x = anchor_x - fold_w
         xbase = jnp.maximum(
             (jnp.floor(anchor_x).astype(i32) // 128) * 128, 0
@@ -288,13 +310,6 @@ def env_window_body(
             (jnp.floor(anchor_y).astype(i32) // 8) * 8, 0
         )
         ybase = jnp.minimum(ybase, jnp.maximum(blk - WIN_ROWS, 0))
-
-        xw = x - xbase.astype(f32)
-        yw = y - ybase.astype(f32)
-        inside = (
-            (xw >= 0.0) & (xw <= WIN_LANES - 1.0)
-            & (yw >= 0.0) & (yw <= WIN_ROWS - 1.0)
-        )
 
         dmas = []
         for c in range(3):
@@ -315,27 +330,50 @@ def env_window_body(
             )
             dma.start()
             dmas.append(dma)
+        return dict(
+            widx=widx, phase=phase, Hlf=Hlf, Wlf=Wlf, fold_w=fold_w,
+            xbase=xbase, ybase=ybase, dmas=dmas, waited=[False],
+        )
+
+    def sample_from(wi, up, vp):
+        """Bilinearly sample every lane of coords (up, vp) from the
+        open window ``wi`` (phase folding applied here).  Returns
+        (r, g, b, inside) — ``inside`` marks lanes whose 2x2 texel
+        footprint lies fully inside the window.  The first call waits
+        the window's DMAs; tent weights build while they fly."""
+        widx = wi["widx"]
+        upp = jnp.where(wi["phase"] > 0, sfold(up), up)
+        x = upp * wi["Wlf"] - 0.5 - wi["fold_w"]
+        y = (1.0 - vp) * wi["Hlf"] + 0.5
+        xw = x - wi["xbase"].astype(f32)
+        yw = y - wi["ybase"].astype(f32)
+        inside = (
+            (xw >= 0.0) & (xw <= WIN_LANES - 1.0)
+            & (yw >= 0.0) & (yw <= WIN_ROWS - 1.0)
+        )
         # column tent weights = the exact bilinear (1-fx, fx) pair,
-        # shared by channels; built while the DMAs fly
+        # shared by channels
         wx_rows = []
         for f in range(F):
             xf = xw[f : f + 1, :]
             wx_rows.append(jnp.maximum(0.0, 1.0 - jnp.abs(col - xf)))
-        for dma in dmas:
-            dma.wait()
+        if not wi["waited"][0]:
+            for dma in wi["dmas"]:
+                dma.wait()
+            wi["waited"][0] = True
 
         outs = []
         for c in range(3):
             win_c = win_ref[
                 :, (widx * 3 + c) * WIN_LANES : (widx * 3 + c + 1) * WIN_LANES
-            ]  # (32, 256)
+            ]  # (64, 256)
             comp = []
             for f in range(F):
                 t1 = jax.lax.dot_general(
                     win_c, wx_rows[f],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
-                )  # (32, C)
+                )  # (64, C)
                 yf = yw[f : f + 1, :]
                 wy = jnp.maximum(0.0, 1.0 - jnp.abs(row - yf))
                 comp.append(jnp.sum(t1 * wy, axis=0, keepdims=True))
@@ -343,10 +381,10 @@ def env_window_body(
         return outs[0], outs[1], outs[2], inside
 
     if lod is None:
-        rb, gb, bb, _ = sample_window(0, lvl_b, phase_b, None, None)
-        ra, ga, ba, in_a = sample_window(
-            1, lvl_a, phase_a, ucenter_a, vcenter_a
-        )
+        wb = open_window(0, lvl_b, phase_b, None, None)
+        wa = open_window(1, lvl_a, phase_a, ucenter_a, vcenter_a)
+        rb, gb, bb, _ = sample_from(wb, u, v)
+        ra, ga, ba, in_a = sample_from(wa, u, v)
         use_a = in_a & (lvl_a < lvl_b)
         r = jnp.where(use_a, ra, rb)
         g = jnp.where(use_a, ga, gb)
@@ -366,29 +404,41 @@ def env_window_body(
     lA = jnp.clip(
         jnp.maximum(jnp.floor(lkmin).astype(i32), lvl_a), 0, top
     )
-    # pair B (cover): anchored at the packet's lod ceiling
+    # pair B (cover): anchored at the packet lod ceiling
     lB = jnp.clip(
         jnp.maximum(jnp.floor(lmax_all).astype(i32), lvl_b), 0, top
     )
     lB = jnp.maximum(lB, lA)
-    a0 = sample_window(0, lA, phase_a, ucenter_a, vcenter_a)
-    a1 = sample_window(1, jnp.minimum(lA + 1, n_levels - 1), phase_a,
-                       ucenter_a, vcenter_a)
-    b0 = sample_window(2, lB, phase_b, None, None)
-    b1 = sample_window(3, jnp.minimum(lB + 1, n_levels - 1), phase_b,
-                       None, None)
+    # all four windows open up front (12 DMAs fly together); every
+    # probe then costs only tents + MXU contractions from the shared
+    # windows
+    wa0 = open_window(0, lA, phase_a, ucenter_a, vcenter_a)
+    wa1 = open_window(1, jnp.minimum(lA + 1, n_levels - 1), phase_a,
+                      ucenter_a, vcenter_a)
+    wb0 = open_window(2, lB, phase_b, None, None)
+    wb1 = open_window(3, jnp.minimum(lB + 1, n_levels - 1), phase_b,
+                      None, None)
     fA = jnp.clip(lod - lA.astype(f32), 0.0, 1.0)
     fB = jnp.clip(lod - lB.astype(f32), 0.0, 1.0)
-    in_a = a0[3] & a1[3]
-    # lanes whose lod lands in (or below) pair A use it; blurrier
-    # outliers go to the cover pair
-    use_a = in_a & (lod < lA.astype(f32) + 1.5)
-    out = []
-    for c in range(3):
-        va = a0[c] * (1.0 - fA) + a1[c] * fA
-        vb = b0[c] * (1.0 - fB) + b1[c] * fB
-        out.append(jnp.where(use_a, va, vb))
-    return out[0], out[1], out[2], lA + 16 * lB
+    lAf = lA.astype(f32)
+    plist = probes if probes else [(u, v)]
+    acc = [None, None, None]
+    for up, vp in plist:
+        a0 = sample_from(wa0, up, vp)
+        a1 = sample_from(wa1, up, vp)
+        b0 = sample_from(wb0, up, vp)
+        b1 = sample_from(wb1, up, vp)
+        in_a = a0[3] & a1[3]
+        # lanes whose lod lands in (or below) pair A use it; blurrier
+        # outliers go to the cover pair
+        use_a = in_a & (lod < lAf + 1.5)
+        for c in range(3):
+            va = a0[c] * (1.0 - fA) + a1[c] * fA
+            vb = b0[c] * (1.0 - fB) + b1[c] * fB
+            o = jnp.where(use_a, va, vb)
+            acc[c] = o if acc[c] is None else acc[c] + o
+    sc = 1.0 / float(len(plist))
+    return acc[0] * sc, acc[1] * sc, acc[2] * sc, lA + 16 * lB
 
 
 def env_window_kernel(
@@ -415,18 +465,23 @@ def env_window_kernel(
 
 def env_window_grad_kernel(
     off_ref, h_ref, w_ref, blk_ref,
-    u_ref, v_ref, lod_ref,
-    planes_ref,
-    out_ref, lvl_ref,
-    win_ref, sems_ref,
-    *, n_levels: int, fold: int,
+    *rest,
+    n_levels: int, fold: int, n_probes: int = 0,
 ):
+    # rest = u, v, lod, [pu_i, pv_i] * n_probes, planes, out, lvl,
+    # win scratch, sems scratch
+    u_ref, v_ref, lod_ref = rest[0], rest[1], rest[2]
+    pr = rest[3 : 3 + 2 * n_probes]
+    planes_ref, out_ref, lvl_ref, win_ref, sems_ref = rest[3 + 2 * n_probes :]
+    probes = [
+        (pr[2 * i][:, :], pr[2 * i + 1][:, :]) for i in range(n_probes)
+    ] or None
     F = fold
     C = u_ref.shape[1]
     r, g, b, lvl = env_window_body(
         planes_ref, off_ref, h_ref, w_ref, blk_ref, win_ref, sems_ref,
         u_ref[:, :], v_ref[:, :], n_levels=n_levels, fold=F, lanes=C,
-        lod=lod_ref[:, :],
+        lod=lod_ref[:, :], probes=probes,
     )
     out_ref[0:F, :] = r
     out_ref[F : 2 * F, :] = g
@@ -446,6 +501,7 @@ def _run_window_kernel(
     with_levels: bool,
     prefolded: bool,
     grad: bool,
+    n_probes: int = 0,
 ):
     from shader_ray_tpu.ops.pallas.packet import FOLD, _fold, _unfold
 
@@ -463,10 +519,15 @@ def _run_window_kernel(
     folded = [fold_in(x) for x in lane_fields]
     n_windows = 4 if grad else 2
 
-    kernel = functools.partial(
-        env_window_grad_kernel if grad else env_window_kernel,
-        n_levels=planes.n_levels, fold=fold,
-    )
+    if grad:
+        kernel = functools.partial(
+            env_window_grad_kernel,
+            n_levels=planes.n_levels, fold=fold, n_probes=n_probes,
+        )
+    else:
+        kernel = functools.partial(
+            env_window_kernel, n_levels=planes.n_levels, fold=fold,
+        )
     smem = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.SMEM
     )
@@ -612,15 +673,12 @@ def sample_env_window_grad(
         rho_x, rho_y, dudx, dvdx, dudy, dvdy, aniso
     )
     lod = lod_of(rho_eff)
-    acc = None
-    lvl = None
+    # ONE kernel pass samples every probe from shared windows (the
+    # probe offsets inflate the window-fitting spans inside the body)
+    fields = [u, v, lod]
     for tu, tv in offs:
-        out = _run_window_kernel(
-            planes, [u + tu, v + tv, lod], R, tile, interpret,
-            with_levels, prefolded, grad=True,
-        )
-        if with_levels:
-            out, lvl = out
-        acc = out if acc is None else acc + out
-    acc = acc / float(len(offs))
-    return (acc, lvl) if with_levels else acc
+        fields.extend((u + tu, v + tv))
+    return _run_window_kernel(
+        planes, fields, R, tile, interpret, with_levels, prefolded,
+        grad=True, n_probes=len(offs),
+    )

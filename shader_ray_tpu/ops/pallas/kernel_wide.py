@@ -34,6 +34,8 @@ tables and scratch.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -51,6 +53,12 @@ from shader_ray_tpu.ops.pallas.pack import LEAF_SLOTS, leaf_layout
 from shader_ray_tpu.ops.pallas.pack_wide import SMALL_LEAF_MAX, TINY_LEAF_MAX, WIDE
 
 GROUP_ROWS = 16
+
+# perf-attribution probe: SRT_STEP_COUNT=iters makes the stats "steps"
+# column count WALK-LOOP ITERATIONS instead of real node pops — the
+# difference (iters * pops vs pops summed) is the fake multi-pop slab
+# work done when a stack holds fewer than ``pops`` entries
+_COUNT_ITERS = os.environ.get("SRT_STEP_COUNT") == "iters"
 
 
 def leaf_tests_smem(
@@ -358,13 +366,30 @@ def make_wide_walker(
                     meta = cmeta_ref[g_sel * WIDE + ck]
                 cnt = (meta >> 26) & 0x1F
                 lrow = meta & 0x3FFFFFF
-                tb = tribase_ref[lrow] if track_which else jnp.int32(0)
+                if track_which:
+                    # on lb == 0 (dma2 peeks head_meta UNGATED) the
+                    # saturated ctz can land on an INTERNAL child whose
+                    # decoded low bits are a wide-node id larger than
+                    # the tribase table — clamp the read; consumers of
+                    # tb are gated on lb != 0 (this OOB SMEM read was
+                    # the unfused-dma2 on-chip INTERNAL crash, r4)
+                    tb = tribase_ref[
+                        jnp.minimum(lrow, tribase_ref.shape[0] - 1)
+                    ]
+                else:
+                    tb = jnp.int32(0)
                 return p, cnt, lrow, tb
 
             def leaf_dma(lrow, parity):
                 """Copy ``lrow``'s 16-row leaf group into this walk's
-                buffer half ``parity`` (0/1, may be traced)."""
-                grp = lrow // per_group
+                buffer half ``parity`` (0/1, may be traced).  The group
+                index is clamped so even a descriptor built from a
+                saturated head_meta peek (dma2, lb == 0 — its start()
+                is gated off) stays in bounds."""
+                grp = jnp.minimum(
+                    lrow // per_group,
+                    leaves_ref.shape[0] // GROUP_ROWS - 1,
+                )
                 dst = pl.multiple_of(
                     (w * 2 + parity) * GROUP_ROWS, GROUP_ROWS
                 )
@@ -526,7 +551,7 @@ def make_wide_walker(
             done = ~jnp.any(r["act"] & (t >= INFINITELY_FAR))
             sp2 = jnp.where(done, 0, sp2)
 
-        steps2 = steps + npop
+        steps2 = steps + (1 if _COUNT_ITERS else npop)
         overflow = alive & (steps2 >= max_steps) & (sp2 > 0)
         badw = badw | overflow
         sp2 = jnp.where(overflow, 0, sp2)
