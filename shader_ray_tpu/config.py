@@ -74,6 +74,12 @@ class Config:
                                      # 1 = isotropic trilinear
     ray_tile: int = 4096             # rays per Pallas grid step (best with
                                      # multi-pop walks; 2048 was best at pops=1)
+    jitter_pack: int = 2             # progressive batches: jitter samples of
+                                     # the SAME pixel block packed per kernel
+                                     # tile (their BVH footprints coincide, so
+                                     # walk/leaf fixed costs amortize over S
+                                     # frames; bunny bench 27.8 -> 21.8 ms at
+                                     # S=2; S=4 measured worse, 23.2)
     packet_fused: bool = True        # fuse bounce+shadow pipeline into ONE
                                      # pallas_call (kernel_mega); wide only
     packet_interleave: int = 1       # interleaved sub-packet walks per step
@@ -116,6 +122,11 @@ class Config:
         c.env_mip_res = _env_int("SRT_ENV_MIP_RES", c.env_mip_res)
         c.env_aniso = _env_int("SRT_ENV_ANISO", c.env_aniso)
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)
+        c.jitter_pack = _env_int("SRT_JITTER_PACK", c.jitter_pack)
+        if c.jitter_pack < 1:
+            raise ValueError(
+                f"SRT_JITTER_PACK={c.jitter_pack} invalid: need >= 1"
+            )
         c.packet_fused = _env_int("SRT_FUSED", int(c.packet_fused)) != 0
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
         c.walk_pops = _env_int("SRT_POPS", c.walk_pops)

@@ -204,6 +204,7 @@ class Renderer:
                 mesh=self.mesh,
                 leaf_mode=self.cfg.leaf_mode or None,
                 fused=self.cfg.packet_fused,
+                jitter_pack=self.cfg.jitter_pack,
             )
             return jnp.sum(out) if rsum else out
 

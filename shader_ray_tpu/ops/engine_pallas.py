@@ -367,6 +367,20 @@ def _prefold_ok(statics, tile, mesh) -> bool:
     )
 
 
+def _block_decode(s, H, W, bh, bw):
+    """Block-swizzled flat pixel index -> (row, col) float32."""
+    if bh > 1:
+        nbw = W // bw
+        b = s // (bh * bw)
+        p = s % (bh * bw)
+        j = (b // nbw) * bh + p // bw
+        i = (b % nbw) * bw + p % bw
+    else:
+        j = s // W
+        i = s % W
+    return j.astype(jnp.float32), i.astype(jnp.float32)
+
+
 def _laned_pixel_coords(H, W, bh, bw, tile, fold):
     """(row, col) float32 pixel indices for each kernel-lane-order ray
     slot: the closed-form composition of _swizzle and _lane_fold_perm.
@@ -382,16 +396,33 @@ def _laned_pixel_coords(H, W, bh, bw, tile, fold):
     t = r1 // C
     c = r1 % C
     s = (t * fold + f) * C + c  # block-swizzled flat index
-    if bh > 1:
-        nbw = W // bw
-        b = s // (bh * bw)
-        p = s % (bh * bw)
-        j = (b // nbw) * bh + p // bw
-        i = (b % nbw) * bw + p % bw
-    else:
-        j = s // W
-        i = s % W
-    return j.astype(jnp.float32), i.astype(jnp.float32)
+    return _block_decode(s, H, W, bh, bw)
+
+
+def _laned_pixel_coords_packed(H, W, bh, bw, tile0, fold, S):
+    """Pixel coords + jitter-copy index for an S-sample PACKED
+    superframe: each kernel tile (S * tile0 lanes) holds S jittered
+    copies of the SAME tile0-pixel block — lanes [s*C0, (s+1)*C0) of
+    every fold row are copy ``s``.  Sub-pixel jitter barely moves a
+    packet's BVH footprint, so the packed tile's traversal union is
+    ~the single-frame union while every walk step, leaf visit, and
+    env window amortizes over S frames (vs S sequential passes).
+    Contrast tile growth over DIFFERENT pixels, which grows the union
+    and was measured a loss (tile=8192, CLAUDE.md)."""
+    R0 = H * W
+    nt = R0 // tile0
+    C0 = tile0 // fold
+    C = S * C0
+    q = jnp.arange(S * R0, dtype=jnp.int32)
+    f = q // (nt * C)
+    r1 = q % (nt * C)
+    t = r1 // C
+    c = r1 % C
+    sidx = c // C0  # jitter-copy index of this lane
+    c0 = c % C0
+    s = (t * fold + f) * C0 + c0  # original laned slot's pixel
+    j, i = _block_decode(s, H, W, bh, bw)
+    return j, i, sidx
 
 
 def _make_trace(packed, params, statics, tile, interpret, interleave,
@@ -563,6 +594,7 @@ def render_progressive_packet(
     mesh=None,
     leaf_mode: str | None = None,
     fused: bool = True,
+    jitter_pack: int = 1,
 ) -> jnp.ndarray:
     """Progressive accumulation fully on device: average ``K`` frames
     rendered at the given (K, 2) sub-pixel jitters in linear space,
@@ -571,10 +603,24 @@ def render_progressive_packet(
     instead of once per batch (the host-loop analog lives in
     App.render_progressive).  When the frame can run in kernel-lane
     order, each sample accumulates LANED and the fold/swizzle
-    permutations run once per batch, not once per sample."""
+    permutations run once per batch, not once per sample.
+
+    ``jitter_pack`` = S > 1 packs S jitter samples of the SAME pixel
+    block into each kernel tile (S * tile lanes per grid step): their
+    sub-pixel-shifted packets traverse a near-identical BVH footprint,
+    so walk steps, leaf-visit fixed costs, and env windows amortize
+    over S frames (_laned_pixel_coords_packed).  Falls back to S = 1
+    when the batch/tile shape or debug mode does not allow it."""
     inner = statics._replace(do_tonemap=False)
     W, H = statics.width, statics.height
     laned = _prefold_ok(statics, tile, mesh)
+    K = jitters.shape[0]
+    S = int(jitter_pack)
+    packed_ok = (
+        S > 1 and laned and K % S == 0
+        and statics.which in (0, 1, 2)
+        and (tile * S) % (FOLD * 128) == 0
+    )
 
     def step(acc, jit2):
         prm = params._replace(pixel_jitter=jit2)
@@ -586,7 +632,40 @@ def render_progressive_packet(
 
     # scan with a running-sum carry: no (K, H, W, 3) stack materializes
     acc0 = jnp.zeros((H * W, 3) if laned else (H, W, 3), jnp.float32)
-    acc, _ = jax.lax.scan(step, acc0, jitters)
+    if packed_ok:
+        bh, bw = _block_dims(H, W, tile)
+        jj, ii, sidx = _laned_pixel_coords_packed(H, W, bh, bw, tile, FOLD, S)
+        nt = (H * W) // tile
+        C0 = tile // FOLD
+        trace_batch = _make_trace(
+            packed, params, inner, tile * S, interpret, interleave,
+            max_steps, None, prefolded=True, leaf_mode=leaf_mode,
+            fused=fused, shared_origin=True,
+        )
+
+        def step_packed(acc, jit_s):  # jit_s: (S, 2) jitters
+            # per-lane jitter by copy index — a static select per copy,
+            # NOT a gather (axon rule 1)
+            jx = sum(
+                jnp.where(sidx == s, jit_s[s, 0], 0.0) for s in range(S)
+            )
+            jy = sum(
+                jnp.where(sidx == s, jit_s[s, 1], 0.0) for s in range(S)
+            )
+            rays, _ = rays_for_pixels(
+                inner, params._replace(pixel_jitter=None), jj + jy, ii + jx
+            )
+            color = trace_batch(rays)  # (S*H*W, 3) packed lane order
+            colsum = (
+                color.reshape(FOLD, nt, S, C0, 3)
+                .sum(axis=2)
+                .reshape(H * W, 3)
+            )
+            return acc + colsum, None
+
+        acc, _ = jax.lax.scan(step_packed, acc0, jitters.reshape(K // S, S, 2))
+    else:
+        acc, _ = jax.lax.scan(step, acc0, jitters)
     acc = acc / jitters.shape[0]
     if laned:
         bh, bw = _block_dims(H, W, tile)

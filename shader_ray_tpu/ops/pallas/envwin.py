@@ -557,6 +557,12 @@ def _run_window_kernel(
             pltpu.VMEM((WIN_ROWS, 3 * n_windows * WIN_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((3 * n_windows,)),
         ],
+        # the per-fold-row tent weights are (WIN_LANES, C) f32 — at
+        # large tiles (jitter-packed superframes, C = 2048) they blow
+        # the default 16 MB scoped-vmem budget; scale it with C
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(16 << 20, 16384 * C),
+        ),
         interpret=interpret,
     )(
         planes.off_smem, planes.h_smem, planes.w_smem, planes.blk_smem,

@@ -97,3 +97,50 @@ def test_device_batched_progressive_matches_host_loop():
     ref = np.asarray(tonemap_and_gamma(jnp.asarray(acc / 3.0), True))
     # f32 accumulation-order differences (device scan vs host loop)
     np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_jitter_pack_matches_sequential():
+    """jitter_pack=S (S jitter samples of the same pixel block packed
+    per kernel tile — the progressive batch's walk/leaf amortization)
+    renders the SAME accumulation as the sequential scan, up to f32
+    add order.  Covers S=2 and S=4 and a K % S != 0 fallback."""
+    import jax.numpy as jnp
+
+    from shader_ray_tpu.models.fixtures import bunny_class_scene
+    from shader_ray_tpu.ops.engine_pallas import render_progressive_packet
+    from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+    from shader_ray_tpu.ops.render import RenderStatics, default_frame_params
+    from shader_ray_tpu.utils import mat4
+
+    pos, _ = bunny_class_scene(600)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    packed = pack_scene_wide(data, procedural_sky(64))
+    statics = RenderStatics(width=64, height=64, tile_size=1024)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0, 0, 4.0).astype(np.float32)
+        ),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.2, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.05, 0.05, 0.05], np.float32)),
+    )
+    jitters = jnp.asarray(
+        [[0.1, -0.2], [-0.3, 0.25], [0.05, 0.4], [-0.15, -0.1]], jnp.float32
+    )
+    args = (packed, params, statics, jitters)
+    seq = np.asarray(
+        render_progressive_packet(*args, tile=1024, interpret=True)
+    )
+    for S in (2, 4):
+        got = np.asarray(
+            render_progressive_packet(
+                *args, tile=1024, interpret=True, jitter_pack=S
+            )
+        )
+        np.testing.assert_allclose(got, seq, atol=2e-3, err_msg=f"S={S}")
+    # K=4 not divisible by S=3: must fall back to the sequential path
+    fb = np.asarray(
+        render_progressive_packet(
+            *args, tile=1024, interpret=True, jitter_pack=3
+        )
+    )
+    np.testing.assert_array_equal(fb, seq)

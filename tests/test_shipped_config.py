@@ -27,8 +27,9 @@ from shader_ray_tpu.utils import mat4
 def test_shipped_production_tuple_matches_wavefront():
     prod = Config()  # dataclass defaults = the shipped config
     assert (prod.packet_fused, prod.walk_pops, prod.ray_tile,
-            prod.leaf_mode, prod.leaf_isect, prod.collapse) == (
-        True, 4, 4096, "dma2", "woop", "sah",
+            prod.leaf_mode, prod.leaf_isect, prod.collapse,
+            prod.jitter_pack) == (
+        True, 4, 4096, "dma2", "woop", "sah", 2,
     ), "shipped defaults changed — update this test to the new tuple"
 
     old = get_config()
@@ -65,5 +66,14 @@ def test_shipped_production_tuple_matches_wavefront():
         err = np.abs(got.astype(np.float32) - ref.astype(np.float32))
         assert err.mean() < 0.01, err.mean()
         assert (err.max(axis=-1) > 0.05).mean() < 0.01, "too many off pixels"
+
+        # the bench path additionally ships jitter_pack=2 (paired
+        # jitter samples packed per kernel tile): one progressive
+        # batch through make_progressive_fn must agree with the
+        # single-frame render at the same scale
+        pfn = renderer.make_progressive_fn(statics, samples=2)
+        prog = np.asarray(pfn(params))
+        perr = np.abs(prog.astype(np.float32) - ref.astype(np.float32))
+        assert perr.mean() < 0.02, perr.mean()
     finally:
         set_config(old)
