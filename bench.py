@@ -44,7 +44,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 TARGET_MRAYS = 200.0
 
 
-def build_scene_data():
+def build_scene_data(tris: int | None = None):
     from shader_ray_tpu.config import get_config
     from shader_ray_tpu.models.fixtures import bunny_class_scene, procedural_sky
     from shader_ray_tpu.models.triangle_set import TriangleSet
@@ -53,7 +53,8 @@ def build_scene_data():
 
     # BENCH_TRIS scales the scene (e.g. 340000 exercises the VMEM
     # node-row large-scene tier); default is the canonical bunny-class
-    tris = int(os.environ.get("BENCH_TRIS", "69000"))
+    if tris is None:
+        tris = int(os.environ.get("BENCH_TRIS", "69000"))
 
     def builder():
         pos, _ = bunny_class_scene(tris)
@@ -185,7 +186,48 @@ def main() -> None:
             out["occluded"] = bench_occluded(statics, fov)
         except Exception as e:  # the headline must never sink with it
             print(f"occluded bench failed: {e}", file=sys.stderr)
+    # extra nested metrics for the round record (compile-cached and
+    # scene-cached after the first run; BENCH_EXTRAS=0 skips): the
+    # which=1 textureGrad quality mode and the 340k-tri VMEM node tier
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        try:
+            out["which1"] = _time_progressive(
+                renderer, statics._replace(which=1), params
+            )
+        except Exception as e:
+            print(f"which1 bench failed: {e}", file=sys.stderr)
+        try:
+            data340, env340 = build_scene_data(340000)
+            out["large_340k"] = _time_progressive(
+                Renderer(data340, env340), statics, params
+            )
+        except Exception as e:
+            print(f"340k bench failed: {e}", file=sys.stderr)
     print(json.dumps(out))
+
+
+def _time_progressive(renderer, statics, params, batch=None, frames=3) -> dict:
+    """Median amortized frame time of a progressive batch (the same
+    methodology as the headline), as a nested metric dict."""
+    batch = batch or min(BATCH, 32)
+    pfn = renderer.make_progressive_fn(statics, batch, reduce_sum=True)
+    if pfn is None:
+        raise RuntimeError("no device-batched progressive path")
+    np.asarray(pfn(params))  # compile + warm
+    ts = []
+    for _ in range(frames):
+        t0 = time.perf_counter()
+        np.asarray(pfn(params))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts)) / batch
+    rays = statics.width * statics.height * 6
+    return {
+        "value": round(rays / t / 1e6, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(rays / t / 1e6 / TARGET_MRAYS, 4),
+        "frame_ms": round(t * 1e3, 2),
+        "frames_per_dispatch": batch,
+    }
 
 
 def bench_occluded(statics, fov) -> dict:
