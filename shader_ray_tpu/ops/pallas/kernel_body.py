@@ -25,6 +25,26 @@ INFINITELY_FAR = 1.0e7   # fs:115
 RANGE_T1 = 1.0e8         # fs:463,491
 
 
+def _fast_recip(x):
+    """-1/x for slot tests: full-precision f32 divide is the single
+    costliest vector op in a leaf slot; the VPU's approximate
+    reciprocal + ONE Newton step is ~full f32 precision (1-2 ulp) at
+    a fraction of the issue cost.  Mosaic's pl.reciprocal lowering
+    only accepts VECTOR f32 (the scalar path hits the known F32Type
+    .element_type bug, CLAUDE.md), and scalar divides run on the
+    scalar unit anyway — so scalars keep the exact divide.  x == 0
+    yields inf/NaN either way; callers' eps-reject masks them."""
+    if getattr(x, "ndim", 0) >= 2:
+        r0 = pl.reciprocal(x, approx=True)
+        r1 = r0 * (2.0 - x * r0)
+        # second Newton step: error squares again — bit-near-exact
+        # even under the interpreter's coarse (~8-bit) approx
+        # emulation, so CPU parity tests stay tight; still ~half the
+        # issue cost of the full-precision divide
+        return -(r1 * (2.0 - x * r1))
+    return -1.0 / x
+
+
 def safe_inv(d):
     """Finite 1/d for slab math: a zero direction component maps to
     1e30 (as if the ray crawled at 1e-30), keeping the wide walker's
@@ -60,11 +80,11 @@ def slot_hit(e, r, t, d_lo, d_hi, mt_eps, isect: str):
         dz = nx_ * Dx + ny_ * Dy + nz_ * Dz      # == -det_MT
         oz = nx_ * Px + ny_ * Py + nz_ * Pz + e(3)
         ok = jnp.abs(dz) >= mt_eps
-        # no zero-guard on the divide: dz == 0 gives inf/NaN d and
+        # no zero-guard on the reciprocal: dz == 0 gives inf/NaN d and
         # u/v, every comparison with them is False, and ``ok`` is
         # already False from the eps test — the accept mask keeps
         # poisoned lanes out of all outputs
-        rcp = -1.0 / dz
+        rcp = _fast_recip(dz)
         d = oz * rcp
         ok = ok & (d <= t) & (d >= d_lo)
         if not (isinstance(d_hi, float) and d_hi >= INFINITELY_FAR):
@@ -92,7 +112,7 @@ def slot_hit(e, r, t, d_lo, d_hi, mt_eps, isect: str):
     ok = jnp.abs(det) >= mt_eps
     # fold the d-negation into the reciprocal; no zero-guard (see the
     # woop branch comment — rejects mask any inf/NaN through)
-    minv_det = -1.0 / det
+    minv_det = _fast_recip(det)
     inv_det = -minv_det
     Tx, Ty, Tz = Px - v0x, Py - v0y, Pz - v0z
     Qx = Ty * e0z - Tz * e0y
