@@ -61,6 +61,9 @@ class Config:
                                      # (28.6 vs scalar's 32.4 ms r2) |
                                      # "scalar" | "dma" | "dmastatic"
     node_src: str = ""               # wide node tables: "" auto | "smem" | "vmem"
+    leaf_scan: str = "ctz"           # hit-leaf iteration: "ctz" per-visit
+                                     # bit-scan | "queue" SMEM meta queues
+                                     # filled during the push pass
     leaf_isect: str = "woop"         # leaf intersector/record format:
                                      # "woop" precomputed unit-tri affine
                                      # (measured 38.1 vs 39.9 ms r2) |
@@ -80,6 +83,15 @@ class Config:
                                      # walk/leaf fixed costs amortize over S
                                      # frames; bunny bench 27.8 -> 21.8 ms at
                                      # S=2; S=4 measured worse, 23.2)
+    prog_tile: int = 2048            # pixel-block size for progressive
+                                     # batches (kernel tile = jitter_pack *
+                                     # prog_tile lanes): the packed union
+                                     # shrinks with the block while lane
+                                     # width stays full — 2048 beats 4096 on
+                                     # every scene (bunny 21.4 -> 19.5,
+                                     # terrain 241 -> 194, 340k 56 -> 47 ms);
+                                     # single frames keep ray_tile (2048
+                                     # measured worse unpacked).  0 = ray_tile
     packet_fused: bool = True        # fuse bounce+shadow pipeline into ONE
                                      # pallas_call (kernel_mega); wide only
     packet_interleave: int = 1       # interleaved sub-packet walks per step
@@ -112,6 +124,11 @@ class Config:
             c.leaf_mode = os.environ["SRT_LEAF_MODE"]
         if os.environ.get("SRT_NODE_SRC"):
             c.node_src = os.environ["SRT_NODE_SRC"]
+        c.leaf_scan = os.environ.get("SRT_LEAF_SCAN", c.leaf_scan)
+        if c.leaf_scan not in ("ctz", "queue"):
+            raise ValueError(
+                f"SRT_LEAF_SCAN={c.leaf_scan!r}: use 'ctz' or 'queue'"
+            )
         c.leaf_isect = os.environ.get("SRT_ISECT", c.leaf_isect)
         if c.leaf_isect not in ("mt", "woop"):
             raise ValueError(f"SRT_ISECT={c.leaf_isect!r}: use 'mt' or 'woop'")
@@ -127,6 +144,7 @@ class Config:
             raise ValueError(
                 f"SRT_JITTER_PACK={c.jitter_pack} invalid: need >= 1"
             )
+        c.prog_tile = _env_int("SRT_PROG_TILE", c.prog_tile)
         c.packet_fused = _env_int("SRT_FUSED", int(c.packet_fused)) != 0
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
         c.walk_pops = _env_int("SRT_POPS", c.walk_pops)

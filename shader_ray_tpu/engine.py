@@ -198,7 +198,8 @@ class Renderer:
         def _fn(packed_, jitters_, params, statics_, rsum):
             out = render_progressive_packet(
                 packed_, params, statics_, jitters_,
-                tile=self.cfg.ray_tile, interpret=interpret,
+                tile=self.cfg.prog_tile or self.cfg.ray_tile,
+                interpret=interpret,
                 interleave=self.cfg.packet_interleave,
                 max_steps=self.cfg.packet_max_steps or None,
                 mesh=self.mesh,

@@ -80,6 +80,7 @@ def mega_kernel(
     pops: int = 1,
     isect: str = "mt",
     shared_origin: bool = False,
+    leaf_scan: str = "ctz",
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -89,21 +90,24 @@ def mega_kernel(
     if with_grads:
         (gx_ref, gy_ref, act_ref,
          acc_ref, mod_ref, dout_ref, gxo_ref, gyo_ref, bad_ref, cnt_ref,
-         stack_ref, leafbuf_ref, sems_ref, nodebuf_ref, nsems_ref) = rest
+         stack_ref, leafbuf_ref, sems_ref, nodebuf_ref, nsems_ref,
+         lqueue_ref) = rest
     else:
         (act_ref,
          acc_ref, mod_ref, dout_ref, bad_ref, cnt_ref,
-         stack_ref, leafbuf_ref, sems_ref, nodebuf_ref, nsems_ref) = rest
+         stack_ref, leafbuf_ref, sems_ref, nodebuf_ref, nsems_ref,
+         lqueue_ref) = rest
 
     walker = make_wide_walker(
         leaves_ref, boxes_ref, cmeta_ref, order_ref, masks_ref,
         tribase_ref, nodes_ref, stack_ref, leafbuf_ref, sems_ref,
-        nodebuf_ref, nsems_ref,
+        nodebuf_ref, nsems_ref, lqueue_ref,
         n_wide=n_wide, max_steps=max_steps, mt_eps=mt_eps, fold=F,
         walks=1, lane_width=C, stack_depth=stack_depth,
         box_quant=box_quant, leaf_mode=leaf_mode, leaf_slots=leaf_slots,
         node_src=node_src, pops=pops, isect=isect,
         track_which=False,  # shading needs only t + normal
+        leaf_scan=leaf_scan,
     )
 
     # --- frame uniforms: SMEM scalars (free splats) ---

@@ -148,6 +148,7 @@ def make_wide_walker(
     sems_ref,
     nodebuf_ref,
     nsems_ref,
+    lqueue_ref,
     *,
     n_wide: int,
     max_steps: int,
@@ -168,6 +169,11 @@ def make_wide_walker(
     isect: str = "mt",       # leaf intersector/record format (pack.leaf_layout)
     track_which: bool = True,  # False: caller ignores hit ids (fused
                              # shading) — saves a select per leaf slot
+    leaf_scan: str = "ctz",  # hit-leaf iteration: "ctz" bit-scans the
+                             # leaf mask per visit; "queue" enqueues
+                             # hit-leaf metas to SMEM during the push
+                             # pass and drains by index — no per-visit
+                             # ctz or multi-pop meta selects
 ):
     """Build a reusable short-stack walker closed over the scene refs
     and scratch.  The returned ``run(rays, any_hit)`` traces the given
@@ -403,6 +409,112 @@ def make_wide_walker(
                     sems_ref.at[w * 2 + parity],
                 )
 
+            def tb_of(lrow):
+                if not track_which:
+                    return jnp.int32(0)
+                return tribase_ref[
+                    jnp.minimum(lrow, tribase_ref.shape[0] - 1)
+                ]
+
+            def drain_class(ci, ncls, n, slots, leafs, t, which, nx, ny, nz):
+                """leaf_scan="queue": visit the ci-th class queue in
+                REVERSE index order (entries were pushed far-to-near,
+                so this is the same near-to-far visit order as the ctz
+                scan — results are identical).  Each visit costs one
+                SMEM load + two decodes instead of a ctz chain and the
+                multi-pop orderw/meta selects.  dma2 keeps its
+                double-buffered leaf pipeline."""
+                qbase = (w * ncls + ci) * (WIDE * pops)
+                meta_at = lambda i: lqueue_ref[qbase + jnp.maximum(i, 0)]
+                if leaf_mode == "dma2":
+                    m0 = meta_at(n - 1)
+                    l0 = m0 & 0x3FFFFFF
+                    c0 = (m0 >> 26) & 0x1F
+                    has0 = n > 0
+
+                    @pl.when(has0)
+                    def _():
+                        leaf_dma(l0, 0).start()
+
+                    def lbody(s):
+                        (qi, clrow, ccnt, ctb, par, _has, leafs_,
+                         t_, which_, nx_, ny_, nz_) = s
+                        hasn = qi >= 0
+                        mn = meta_at(qi)
+                        nlrow = mn & 0x3FFFFFF
+                        ncnt = (mn >> 26) & 0x1F
+                        ntb = tb_of(nlrow)
+
+                        @pl.when(hasn)
+                        def _():
+                            leaf_dma(nlrow, 1 - par).start()
+
+                        leaf_dma(clrow, par).wait()
+                        sub = clrow % per_group
+                        t_, which_, nx_, ny_, nz_ = leaf_tests_smem_static(
+                            leafbuf_ref, w * 2 + par, r, sub, ctb, ccnt,
+                            gate, t_, which_, nx_, ny_, nz_, mt_eps,
+                            leaf_slots=slots,
+                            occlusion=any_hit,
+                            isect=isect,
+                            track_which=track_which,
+                        )
+                        return (qi - 1, nlrow, ncnt, ntb, 1 - par, hasn,
+                                leafs_ + 1, t_, which_, nx_, ny_, nz_)
+
+                    out = jax.lax.while_loop(
+                        lambda s: s[5], lbody,
+                        (n - 2, l0, c0, tb_of(l0), jnp.int32(0), has0,
+                         leafs, t, which, nx, ny, nz),
+                    )
+                    return out[6], out[7], out[8], out[9], out[10], out[11]
+
+                def lbody(s):
+                    qi, leafs_, t_, which_, nx_, ny_, nz_ = s
+                    m = meta_at(qi)
+                    lrow = m & 0x3FFFFFF
+                    cnt = (m >> 26) & 0x1F
+                    tb = tb_of(lrow)
+                    if leaf_mode in ("dma", "dmastatic"):
+                        sub = lrow % per_group
+                        dma = leaf_dma(lrow, 0)
+                        dma.start()
+                        dma.wait()
+                        if leaf_mode == "dmastatic":
+                            t_, which_, nx_, ny_, nz_ = leaf_tests_smem_static(
+                                leafbuf_ref, w * 2, r, sub, tb, cnt, gate,
+                                t_, which_, nx_, ny_, nz_, mt_eps,
+                                leaf_slots=slots,
+                                occlusion=any_hit,
+                                isect=isect,
+                                track_which=track_which,
+                            )
+                        else:
+                            t_, which_, nx_, ny_, nz_ = leaf_tests_smem(
+                                leafbuf_ref, w * 2, r, sub, tb, cnt, gate,
+                                t_, which_, nx_, ny_, nz_, mt_eps,
+                                occlusion=any_hit,
+                                isect=isect,
+                                track_which=track_which,
+                            )
+                    else:
+                        t_, which_, nx_, ny_, nz_ = leaf_tests(
+                            leaves_ref, r, lrow, tb, cnt,
+                            gate, 0.0, RANGE_T1,
+                            t_, which_, nx_, ny_, nz_, mt_eps,
+                            leaf_slots=slots,
+                            occlusion=any_hit,
+                            isect=isect,
+                            track_which=track_which,
+                        )
+                    return (qi - 1, leafs_ + 1, t_, which_, nx_, ny_, nz_)
+
+                out = jax.lax.while_loop(
+                    lambda s: s[0] >= 0, lbody,
+                    (n - 1, leafs, t, which, nx, ny, nz),
+                )
+                return out[1], out[2], out[3], out[4], out[5], out[6]
+
             def lcond(s):
                 return s[0] != 0
 
@@ -507,27 +619,31 @@ def make_wide_walker(
 
             tiny = min(leaf_slots_tiny, leaf_slots)
             small = min(leaf_slots_small, leaf_slots)
+            class_masks = []  # [(bitmask, static slot-unroll count)]
+            remm = leafbits
             if tiny < small:
-                tbits = leafbits & ~overtiny_perm
-                leafs, t, which, nx, ny, nz = run_class(
-                    tbits, tiny, leafs, t, which, nx, ny, nz
-                )
-                leafbits = leafbits & overtiny_perm
+                class_masks.append((remm & ~overtiny_perm, tiny))
+                remm = remm & overtiny_perm
             if small < leaf_slots:
-                sbits = leafbits & ~large_perm
-                leafs, t, which, nx, ny, nz = run_class(
-                    sbits, small, leafs, t, which, nx, ny, nz
-                )
-                leafbits = leafbits & large_perm
-            leafs, t, which, nx, ny, nz = run_class(
-                leafbits, leaf_slots, leafs, t, which, nx, ny, nz
-            )
+                class_masks.append((remm & ~large_perm, small))
+                remm = remm & large_perm
+            class_masks.append((remm, leaf_slots))
+
+            if leaf_scan != "queue":
+                for cbits, slots in class_masks:
+                    leafs, t, which, nx, ny, nz = run_class(
+                        cbits, slots, leafs, t, which, nx, ny, nz
+                    )
 
         # pass 2, far-to-near: push hit internal children (nearest on
         # top — node 0 was the stack top, so its children push LAST).
         # A push past the stack bound flags the walk bad instead of
         # corrupting scratch (the bound scales with pops; see
-        # packet_wide/packet_mega allocation).
+        # packet_wide/packet_mega allocation).  leaf_scan="queue" rides
+        # the same loop: each hit-leaf child's meta is enqueued to its
+        # size class's SMEM queue (far-to-near), drained below.
+        use_queue = leaf_mode != "skip" and leaf_scan == "queue"
+        nq = [jnp.int32(0) for _ in class_masks] if use_queue else []
         sp2 = spc
         for j in range(pops - 1, -1, -1):
             for p in range(WIDE - 1, -1, -1):
@@ -541,6 +657,25 @@ def make_wide_walker(
                     stack_ref[w * SD + sp2] = meta_p
 
                 sp2 = jnp.where(do_push, sp2 + 1, sp2)
+                if use_queue:
+                    for ci in range(len(class_masks)):
+                        inc = ((class_masks[ci][0] >> bit) & 1) > 0
+
+                        @pl.when(inc)
+                        def _(n=nq[ci], meta_p=meta_p, ci=ci):
+                            lqueue_ref[
+                                (w * len(class_masks) + ci)
+                                * (WIDE * pops) + n
+                            ] = meta_p
+
+                        nq[ci] = jnp.where(inc, nq[ci] + 1, nq[ci])
+
+        if use_queue:
+            for ci, (_cbits, slots) in enumerate(class_masks):
+                leafs, t, which, nx, ny, nz = drain_class(
+                    ci, len(class_masks), nq[ci], slots,
+                    leafs, t, which, nx, ny, nz,
+                )
 
         if any_hit:
             # occlusion query: a lane that found ANY hit is done — zero
@@ -644,6 +779,7 @@ def wide_kernel(
     node_src: str = "smem",
     pops: int = 1,
     isect: str = "mt",
+    leaf_scan: str = "ctz",
 ):
     i32 = jnp.int32
     F = fold
@@ -652,20 +788,20 @@ def wide_kernel(
     CW = C // W
     if with_stats:
         (stats_ref, stack_ref, leafbuf_ref, sems_ref,
-         nodebuf_ref, nsems_ref) = stats_and_scratch
+         nodebuf_ref, nsems_ref, lqueue_ref) = stats_and_scratch
     else:
         (stack_ref, leafbuf_ref, sems_ref,
-         nodebuf_ref, nsems_ref) = stats_and_scratch
+         nodebuf_ref, nsems_ref, lqueue_ref) = stats_and_scratch
 
     rays = make_walk_rays(P_ref, D_ref, act_ref, F, W, CW)
     walker = make_wide_walker(
         leaves_ref, boxes_ref, cmeta_ref, order_ref, masks_ref,
         tribase_ref, nodes_ref, stack_ref, leafbuf_ref, sems_ref,
-        nodebuf_ref, nsems_ref,
+        nodebuf_ref, nsems_ref, lqueue_ref,
         n_wide=n_wide, max_steps=max_steps, mt_eps=mt_eps, fold=F,
         walks=W, lane_width=CW, stack_depth=stack_depth,
         box_quant=box_quant, leaf_mode=leaf_mode, leaf_slots=leaf_slots,
-        node_src=node_src, pops=pops, isect=isect,
+        node_src=node_src, pops=pops, isect=isect, leaf_scan=leaf_scan,
     )
     states = walker(rays, any_hit=any_hit)
 

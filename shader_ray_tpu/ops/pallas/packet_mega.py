@@ -19,7 +19,10 @@ from jax.experimental.pallas import tpu as pltpu
 from shader_ray_tpu.ops.pallas.kernel_mega import UNI_SIZE, mega_kernel
 from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
 from shader_ray_tpu.ops.pallas.packet import FOLD, MT_EPSILON, _fold, _unfold
-from shader_ray_tpu.ops.pallas.packet_wide import _default_pops
+from shader_ray_tpu.ops.pallas.packet_wide import (
+    _default_leaf_scan,
+    _default_pops,
+)
 
 
 class ShadeResult(NamedTuple):
@@ -155,6 +158,7 @@ def packet_shade(
         pops=pops,
         isect=scene.isect,
         shared_origin=shared_origin,
+        leaf_scan=_default_leaf_scan(),
     )
 
     full = lambda shape: pl.BlockSpec(
@@ -220,6 +224,8 @@ def packet_shade(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((pops * 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((pops,)),
+            # per-class hit-leaf meta queues (leaf_scan="queue")
+            pltpu.SMEM((3 * 8 * pops,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,

@@ -33,6 +33,12 @@ def _default_pops() -> int:
     return get_config().walk_pops
 
 
+def _default_leaf_scan() -> str:
+    from shader_ray_tpu.config import get_config
+
+    return get_config().leaf_scan
+
+
 def packet_trace_wide(
     scene: PackedSceneWide,
     P: jnp.ndarray,
@@ -48,6 +54,7 @@ def packet_trace_wide(
     leaf_mode: str = "scalar",
     prefolded: bool = False,
     pops: int | None = None,
+    leaf_scan: str | None = None,
 ) -> PacketHit:
     """Trace a batch of object-space rays.  P, D: (R, 3) float32.
     ``tile`` must be a multiple of 1024 (8 sublanes x 128 lanes).
@@ -126,6 +133,7 @@ def packet_trace_wide(
         node_src=scene.node_src,
         pops=pops,
         isect=scene.isect,
+        leaf_scan=leaf_scan if leaf_scan is not None else _default_leaf_scan(),
     )
 
     full = lambda shape: pl.BlockSpec(
@@ -179,6 +187,9 @@ def packet_trace_wide(
             pltpu.SemaphoreType.DMA((walks * 2,)),
             pltpu.SMEM((walks * pops * 8, 128), jnp.int32),
             pltpu.SemaphoreType.DMA((walks * pops,)),
+            # per-class hit-leaf meta queues (leaf_scan="queue"; tiny
+            # either way — 3 classes x 8*pops entries per walk)
+            pltpu.SMEM((walks * 3 * 8 * pops,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,

@@ -28,8 +28,8 @@ def test_shipped_production_tuple_matches_wavefront():
     prod = Config()  # dataclass defaults = the shipped config
     assert (prod.packet_fused, prod.walk_pops, prod.ray_tile,
             prod.leaf_mode, prod.leaf_isect, prod.collapse,
-            prod.jitter_pack) == (
-        True, 4, 4096, "dma2", "woop", "sah", 2,
+            prod.jitter_pack, prod.prog_tile, prod.leaf_scan) == (
+        True, 4, 4096, "dma2", "woop", "sah", 2, 2048, "ctz",
     ), "shipped defaults changed — update this test to the new tuple"
 
     old = get_config()
