@@ -158,7 +158,7 @@ def packet_shade(
         pops=pops,
         isect=scene.isect,
         shared_origin=shared_origin,
-        leaf_scan=_default_leaf_scan(),
+        leaf_scan=_default_leaf_scan(scene.node_src),
     )
 
     full = lambda shape: pl.BlockSpec(

@@ -387,3 +387,28 @@ def test_leaf_budget_16(bumpy, rng):
         np.testing.assert_array_equal(got.which, ref.which)
     finally:
         set_config(old)
+
+
+@pytest.mark.parametrize("node_src", ["smem", "vmem"])
+def test_queue_leaf_scan_matches_ctz(bumpy, rng, node_src):
+    """leaf_scan="queue" (hit-leaf metas enqueued to per-class SMEM
+    queues during the push pass, drained by index) must be bit-exact
+    vs the default per-visit ctz bit-scan, on both node tiers and
+    under multi-pop; any-hit exercises the early-exit drain."""
+    data = bumpy
+    env = procedural_sky(64)
+    P, D = _random_rays(rng, 1024)
+    packed = pack_scene_wide(data, env, node_src=node_src)
+    args = (packed, jnp.asarray(P), jnp.asarray(D))
+    kw = dict(tile=1024, interpret=True, pops=2)
+    a = packet_trace_wide(*args, **kw, leaf_scan="ctz")
+    b = packet_trace_wide(*args, **kw, leaf_scan="queue")
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(np.asarray(a.which), np.asarray(b.which))
+    np.testing.assert_array_equal(np.asarray(a.normal), np.asarray(b.normal))
+
+    occ_a = packet_trace_wide(*args, **kw, leaf_scan="ctz", any_hit=True)
+    occ_b = packet_trace_wide(*args, **kw, leaf_scan="queue", any_hit=True)
+    np.testing.assert_array_equal(
+        np.asarray(occ_a.t) < 1e7, np.asarray(occ_b.t) < 1e7
+    )

@@ -29,8 +29,13 @@ def test_shipped_production_tuple_matches_wavefront():
     assert (prod.packet_fused, prod.walk_pops, prod.ray_tile,
             prod.leaf_mode, prod.leaf_isect, prod.collapse,
             prod.jitter_pack, prod.prog_tile, prod.leaf_scan) == (
-        True, 4, 4096, "dma2", "woop", "sah", 2, 2048, "ctz",
+        True, 4, 4096, "dma2", "woop", "sah", 2, 2048, "",
     ), "shipped defaults changed — update this test to the new tuple"
+    # leaf_scan "" = auto: ctz on the SMEM node tier, queue on vmem
+    from shader_ray_tpu.ops.pallas.packet_wide import _default_leaf_scan
+
+    assert _default_leaf_scan("smem") == "ctz"
+    assert _default_leaf_scan("vmem") == "queue"
 
     old = get_config()
     set_config(prod)
