@@ -68,7 +68,7 @@ def build_scene_data(tris: int | None = None):
         f"-l{cfg.bvh_leaf_max}-d{cfg.bvh_max_depth}"
     )
     data = cached_scene_data(key, builder, verbose=True)
-    return data, procedural_sky(2048)
+    return data, procedural_sky(2048), key
 
 
 def main() -> None:
@@ -82,7 +82,7 @@ def main() -> None:
     backend = jax.default_backend()
     print(f"backend: {backend}, devices: {jax.devices()}", file=sys.stderr)
 
-    data, env = build_scene_data()
+    data, env, scene_key = build_scene_data()
     print(
         f"scene: {data.triangle_count} tris, {data.group_count} bvh nodes",
         file=sys.stderr,
@@ -109,6 +109,17 @@ def main() -> None:
         diffuse_color=jnp.asarray(np.array([0.8, 0.2, 0.2], np.float32)),
         specular_color=jnp.asarray(np.array([0.05, 0.05, 0.05], np.float32)),
     )
+
+    # BENCH_TUNE=1: autotune the engine schedule for this scene first
+    # (results persist in the cache dir, so re-runs are free); the
+    # headline then measures the tuned knobs.
+    if os.environ.get("BENCH_TUNE", "0") != "0" and BATCH > 1:
+        from shader_ray_tpu.utils.autotune import autotune
+
+        autotune(
+            renderer, statics, params,
+            samples=min(BATCH, 32), key=scene_key,
+        )
 
     fn = renderer.make_fn(statics)
     # device-side checksum: fences the frame without fetching it (the
@@ -197,7 +208,7 @@ def main() -> None:
         except Exception as e:
             print(f"which1 bench failed: {e}", file=sys.stderr)
         try:
-            data340, env340 = build_scene_data(340000)
+            data340, env340, _ = build_scene_data(340000)
             out["large_340k"] = _time_progressive(
                 Renderer(data340, env340), statics, params
             )

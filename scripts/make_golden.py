@@ -36,7 +36,7 @@ def render(which: int) -> np.ndarray:
     from shader_ray_tpu.ops.render import RenderStatics, default_frame_params
     from shader_ray_tpu.utils import mat4
 
-    data, env = build_scene_data()
+    data, env, _ = build_scene_data()
     renderer = Renderer(data, env)
     statics = RenderStatics(
         width=1024, height=768, tile_size=65536, which=which

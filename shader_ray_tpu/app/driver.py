@@ -228,6 +228,28 @@ class App:
             )
         return s
 
+    def tune(self, samples: int = 32, file=sys.stdout) -> dict | None:
+        """Autotune the packet engine's schedule knobs for THIS scene
+        on the live device (utils/autotune.py) and apply the winner to
+        the session config; results persist next to the scene cache
+        (``scene_key``).  No reference analog — the GL pipeline has no
+        tunable schedule."""
+        if self.renderer.engine != "packet":
+            print("autotune needs the packet engine", file=file)
+            return None
+        from shader_ray_tpu.utils.autotune import autotune
+
+        best, results = autotune(
+            self.renderer, self._statics(), self.frame_params(),
+            samples=samples, key=getattr(self, "scene_key", None),
+        )
+        for tag, ms in sorted(results.items(), key=lambda kv: kv[1]):
+            print(f"{ms:9.2f} ms/frame  {tag}", file=file)
+        print(f"applied: {best}", file=file)
+        # tuned knobs change the compiled programs — drop cached fns
+        self._fn_cache.clear()
+        return best
+
     def screenshot(self, path: str = "color.ppm") -> str:
         """Write the current frame as binary PPM (P6) — the reference's
         color.ppm contract."""

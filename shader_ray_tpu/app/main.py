@@ -34,6 +34,7 @@ extra (headless equivalents of mouse gestures):
   render [F]   force a frame; optionally write it to file F (.ppm)
   prog [N]     progressive render: average N jittered samples (default 4)
   stats        per-phase walk counters (steps/leaf visits per packet)
+  tune [N]     autotune engine knobs for this scene (N-sample batches)
   view         toggle inline ANSI-truecolor display of each frame
   help         this text
 """
@@ -85,7 +86,10 @@ def build_app(args) -> "App":
     engine = args.engine if args.engine != "auto" else None
     renderer = Renderer(data, background, cfg, engine=engine, mesh=mesh)
     print(f"engine: {renderer.engine}", file=sys.stderr)
-    return App(world, renderer, cfg, width=args.width, height=args.height)
+    app = App(world, renderer, cfg, width=args.width, height=args.height)
+    # the scene-cache key doubles as the autotune persistence key
+    app.scene_key = key
+    return app
 
 
 def repl(app, out_path: str, stream, view: bool = False) -> None:
@@ -125,6 +129,12 @@ def repl(app, out_path: str, stream, view: bool = False) -> None:
             app.drag(0.0, float(parts[1]), shift=True)
         elif cmd == "stats":
             app.walk_stats(file=sys.stderr)
+        elif cmd == "tune":
+            app.tune(
+                samples=int(parts[1]) if len(parts) > 1 else 32,
+                file=sys.stderr,
+            )
+            continue
         elif cmd == "prog":
             n = int(parts[1]) if len(parts) > 1 else 4
             frame = app.render_progressive(n)

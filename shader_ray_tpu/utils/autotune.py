@@ -1,0 +1,230 @@
+"""Per-scene engine-knob autotuner (SURVEY 5.6 config system, extended).
+
+The packet engine's throughput knobs — progressive pixel-block size,
+jitter packing factor, hit-leaf scan strategy, multi-pop width — have
+scene-dependent optima: coherent bunny-class scenes favor the ctz leaf
+scan and S=2 packing at a 2048-pixel block, while divergent or
+VMEM-tier scenes favor the queue scan (measured round 5).  The shipped
+defaults are the bunny-class optimum; ``autotune`` measures candidate
+tuples ON THE LIVE DEVICE for the actual scene and render config,
+with the same fencing discipline as bench.py (device-side checksum
+reduction, scalar D2H fetch — ``block_until_ready`` returns early on
+the axon runtime), and persists the winner next to the scene cache.
+
+Cost model: every candidate is one fresh XLA program (~7-260 s to
+compile on the axon remote compiler, ~15 s when the persistent compile
+cache hits), so the default space is a two-stage greedy descent over
+the knob groups that measurably interact (block/pack first, then leaf
+scan, then pops) rather than a full cross product.
+
+No reference analog: the reference is a fixed GLSL pipeline with no
+tunable schedule (raytracer.es.fs).  This is the TPU-native replacement
+for hand-tuning per scene class.
+"""
+
+from __future__ import annotations
+
+import copy
+import hashlib
+import json
+import os
+import time
+from contextlib import contextmanager
+
+import numpy as np
+
+from shader_ray_tpu.utils.cache import default_cache_dir
+
+# knob groups, tried as a greedy coordinate descent: each stage keeps
+# the best assignment found so far and varies one group.  Stage lists
+# start with the shipped default so the baseline is always measured.
+DEFAULT_SPACE: list[list[dict]] = [
+    # progressive pixel block x jitter packing (kernel tile = S * block
+    # lanes; the packed union shrinks with the block while lane width
+    # stays full)
+    [
+        {"jitter_pack": 2, "prog_tile": 2048},
+        {"jitter_pack": 1, "prog_tile": 4096},
+        {"jitter_pack": 2, "prog_tile": 4096},
+        {"jitter_pack": 4, "prog_tile": 1024},
+        {"jitter_pack": 4, "prog_tile": 2048},
+    ],
+    # hit-leaf iteration ("" = auto: queue on the VMEM node tier)
+    [
+        {"leaf_scan": ""},
+        {"leaf_scan": "ctz"},
+        {"leaf_scan": "queue"},
+    ],
+    # stack entries popped per walk step
+    [
+        {"walk_pops": 4},
+        {"walk_pops": 2},
+    ],
+]
+
+
+@contextmanager
+def _as_global(cfg):
+    """Install ``cfg`` as the process config for the duration: kernel
+    construction reads walk_pops/leaf_scan from the global config at
+    trace time (packet_wide._default_pops/_default_leaf_scan)."""
+    from shader_ray_tpu.config import get_config, set_config
+
+    old = get_config()
+    set_config(cfg)
+    try:
+        yield
+    finally:
+        set_config(old)
+
+
+def _space_key(statics, samples: int, space) -> str:
+    """Cache key hash over everything that shapes the measurement."""
+    import jax
+
+    payload = json.dumps(
+        {
+            "statics": tuple(statics),
+            "samples": samples,
+            "space": space,
+            "device": jax.devices()[0].device_kind,
+        },
+        sort_keys=True,
+        default=str,
+    )
+    return hashlib.sha1(payload.encode()).hexdigest()[:12]
+
+
+def _tune_path(key: str, h: str) -> str:
+    return os.path.join(default_cache_dir(), f"tune-{key}-{h}.json")
+
+
+def load_tuned(key: str, statics, samples: int, space=None) -> dict | None:
+    """Best knobs from a previous autotune of this (scene, config), or
+    None.  ``key`` is the scene-cache key (content + build knobs)."""
+    space = space if space is not None else DEFAULT_SPACE
+    try:
+        with open(_tune_path(key, _space_key(statics, samples, space))) as f:
+            return json.load(f)["best"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _apply(cfg, knobs: dict):
+    cfg2 = copy.copy(cfg)
+    for k, v in knobs.items():
+        if not hasattr(cfg2, k):
+            raise ValueError(f"unknown config knob {k!r}")
+        setattr(cfg2, k, v)
+    return cfg2
+
+
+def _time_candidate(renderer, cfg, statics, params, samples, frames):
+    """Median amortized per-frame seconds of a progressive batch under
+    ``cfg`` (compile + warm excluded; device-fenced)."""
+    r2 = copy.copy(renderer)  # shares the packed scene; swaps config
+    r2.cfg = cfg
+    with _as_global(cfg):
+        pfn = r2.make_progressive_fn(statics, samples, reduce_sum=True)
+        if pfn is None:
+            raise RuntimeError("engine has no device-batched path")
+        np.asarray(pfn(params))  # compile + warm (trace under cfg)
+        ts = []
+        for _ in range(frames):
+            t0 = time.perf_counter()
+            np.asarray(pfn(params))  # scalar D2H = the honest fence
+            ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / samples
+
+
+def autotune(
+    renderer,
+    statics,
+    params,
+    samples: int = 32,
+    frames: int = 3,
+    key: str | None = None,
+    space: list[list[dict]] | None = None,
+    verbose: bool = True,
+    apply: bool = True,
+    use_cache: bool = True,
+):
+    """Greedy per-stage search for the fastest knob tuple on the live
+    device.  Returns ``(best_knobs, results)`` where ``results`` maps
+    ``repr(knobs) -> amortized ms/frame`` for every measured candidate.
+
+    ``apply=True`` writes the winning knobs onto ``renderer.cfg`` (the
+    App passes the process config instance through, so subsequent
+    frame fns pick them up).  ``key`` (the scene-cache key) enables
+    persisting/reusing the result across runs."""
+    import sys
+
+    space = space if space is not None else DEFAULT_SPACE
+    if key and use_cache:
+        best = load_tuned(key, statics, samples, space)
+        if best is not None:
+            if verbose:
+                print(f"autotune cache hit: {best}", file=sys.stderr)
+            if apply:
+                for k, v in best.items():
+                    setattr(renderer.cfg, k, v)
+            return best, {}
+
+    base = renderer.cfg
+    best_knobs: dict = {}
+    results: dict[str, float] = {}
+    # tags are normalized over every knob the space touches (defaults
+    # filled from the base config), so a stage's no-op candidate (e.g.
+    # the baseline re-listed in a later stage) dedups instead of
+    # re-measuring the same effective program
+    all_keys = sorted({k for st in space for cand in st for k in cand})
+    for stage in space:
+        stage_best, stage_t = None, np.inf
+        for cand in stage:
+            knobs = {**best_knobs, **cand}
+            tag = json.dumps(
+                {k: knobs.get(k, getattr(base, k, None)) for k in all_keys},
+                sort_keys=True,
+            )
+            if tag in results:
+                t = results[tag] / 1e3
+            else:
+                try:
+                    t = _time_candidate(
+                        renderer, _apply(base, knobs), statics, params,
+                        samples, frames,
+                    )
+                except Exception as e:  # an invalid combo must not
+                    # sink the search (e.g. no packed path for a mode)
+                    if verbose:
+                        print(f"autotune: {knobs} failed: {e}",
+                              file=sys.stderr)
+                    continue
+                results[tag] = round(t * 1e3, 3)
+                if verbose:
+                    print(f"autotune: {knobs} -> {t * 1e3:.2f} ms/frame",
+                          file=sys.stderr)
+            if t < stage_t:
+                stage_best, stage_t = cand, t
+        if stage_best is not None:
+            best_knobs.update(stage_best)
+    if verbose:
+        print(f"autotune best: {best_knobs}", file=sys.stderr)
+    if key:
+        try:
+            path = _tune_path(key, _space_key(statics, samples, space))
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"best": best_knobs, "results_ms": results,
+                     "samples": samples, "ts": time.time()},
+                    f, indent=1,
+                )
+            os.replace(tmp, path)
+        except OSError:
+            pass
+    if apply:
+        for k, v in best_knobs.items():
+            setattr(renderer.cfg, k, v)
+    return best_knobs, results

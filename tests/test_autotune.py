@@ -1,0 +1,73 @@
+"""Per-scene knob autotuner (utils/autotune.py): greedy stage search
+runs each candidate through the real progressive path (interpret mode
+on CPU), applies the winner to the renderer config, and persists /
+reloads the result keyed on scene + statics."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from shader_ray_tpu.config import Config
+from shader_ray_tpu.engine import Renderer
+from shader_ray_tpu.models.fixtures import procedural_sky, uv_sphere
+from shader_ray_tpu.models.triangle_set import TriangleSet
+from shader_ray_tpu.models.world import get_shader_data, make_world
+from shader_ray_tpu.ops.render import RenderStatics, default_frame_params
+from shader_ray_tpu.utils import mat4
+from shader_ray_tpu.utils.autotune import autotune, load_tuned
+
+SPACE = [
+    [
+        {"jitter_pack": 1, "prog_tile": 1024},
+        {"jitter_pack": 2, "prog_tile": 1024},
+    ],
+    [{"leaf_scan": ""}, {"leaf_scan": "queue"}],
+]
+
+
+def test_autotune_searches_applies_and_persists(tmp_path, monkeypatch):
+    monkeypatch.setenv("SRT_CACHE_DIR", str(tmp_path))
+    pos, _ = uv_sphere(lat=8, lon=12)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    cfg = Config()
+    renderer = Renderer(data, procedural_sky(64), config=cfg, engine="packet")
+    statics = RenderStatics(width=128, height=8, tile_size=1024)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0, 0, 3.0).astype(np.float32)
+        ),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.3, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32)),
+    )
+
+    best, results = autotune(
+        renderer, statics, params, samples=2, frames=1,
+        key="tiny", space=SPACE, verbose=False,
+    )
+    # every stage contributed an assignment; 4 candidates, one of
+    # which (leaf_scan "" == the base default) dedups by normalized tag
+    assert set(best) == {"jitter_pack", "prog_tile", "leaf_scan"}
+    assert len(results) == 3
+    # the winner was applied to the live config
+    assert renderer.cfg.jitter_pack == best["jitter_pack"]
+    assert renderer.cfg.leaf_scan == best["leaf_scan"]
+    assert all(ms > 0 for ms in results.values())
+
+    # persisted: a second call is a cache hit (no re-measurement)
+    files = [f for f in os.listdir(tmp_path) if f.startswith("tune-tiny")]
+    assert len(files) == 1
+    saved = json.load(open(tmp_path / files[0]))
+    assert saved["best"] == best
+    assert load_tuned("tiny", statics, 2, SPACE) == best
+    best2, results2 = autotune(
+        renderer, statics, params, samples=2, frames=1,
+        key="tiny", space=SPACE, verbose=False,
+    )
+    assert best2 == best and results2 == {}
+
+    # a different statics tuple must NOT reuse the cache entry
+    assert (
+        load_tuned("tiny", statics._replace(which=1), 2, SPACE) is None
+    )
