@@ -193,19 +193,66 @@ class Renderer:
             jnp.float32,
         )
         interpret = jax.default_backend() != "tpu"
+        kernel_kwargs = dict(
+            tile=self.cfg.prog_tile or self.cfg.ray_tile,
+            interpret=interpret,
+            interleave=self.cfg.packet_interleave,
+            max_steps=self.cfg.packet_max_steps or None,
+            leaf_mode=self.cfg.leaf_mode or None,
+            fused=self.cfg.packet_fused,
+            jitter_pack=self.cfg.jitter_pack,
+        )
+
+        if self.mesh is not None and samples % self.mesh.devices.size == 0:
+            # SAMPLE-parallel scale-out: shard the jitter batch over
+            # the mesh — each chip renders K/n full frames on the fast
+            # single-chip path (laned raygen + jitter packing stay
+            # enabled, unlike ray sharding which disables prefolding),
+            # then ONE pmean of the (H*W, 3) linear accumulation rides
+            # ICI.  Communication per chip is a single frame buffer
+            # per BATCH (vs per frame for ray sharding's output
+            # all-gather), and traversal work shards perfectly since
+            # samples are independent (SURVEY.md 5.7).
+            from jax.sharding import PartitionSpec as P
+
+            from shader_ray_tpu.ops.shading import tonemap_and_gamma
+
+            axis = self.mesh.axis_names[0]
+            inner = statics._replace(do_tonemap=False)
+
+            def _shard_body(packed_, jitters_, params):
+                acc = render_progressive_packet(
+                    packed_, params, inner, jitters_, mesh=None,
+                    **kernel_kwargs,
+                )
+                # per-device mean over K/n samples -> global mean
+                return jax.lax.pmean(acc, axis)
+
+            sharded = jax.shard_map(
+                _shard_body,
+                mesh=self.mesh,
+                in_specs=(P(), P(axis), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+
+            @functools.partial(jax.jit, static_argnames=("rsum",))
+            def _sfn(packed_, jitters_, params, rsum):
+                acc = sharded(packed_, jitters_, params)
+                if statics.do_tonemap:
+                    acc = tonemap_and_gamma(acc, statics.use_filmic)
+                return jnp.sum(acc) if rsum else acc
+
+            return lambda params: _sfn(
+                self.packed, jitters, params, reduce_sum
+            )
 
         @functools.partial(jax.jit, static_argnames=("statics_", "rsum"))
         def _fn(packed_, jitters_, params, statics_, rsum):
             out = render_progressive_packet(
                 packed_, params, statics_, jitters_,
-                tile=self.cfg.prog_tile or self.cfg.ray_tile,
-                interpret=interpret,
-                interleave=self.cfg.packet_interleave,
-                max_steps=self.cfg.packet_max_steps or None,
                 mesh=self.mesh,
-                leaf_mode=self.cfg.leaf_mode or None,
-                fused=self.cfg.packet_fused,
-                jitter_pack=self.cfg.jitter_pack,
+                **kernel_kwargs,
             )
             return jnp.sum(out) if rsum else out
 

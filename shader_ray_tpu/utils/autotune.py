@@ -60,6 +60,14 @@ DEFAULT_SPACE: list[list[dict]] = [
         {"walk_pops": 4},
         {"walk_pops": 2},
     ],
+    # leaf record path: double-buffered SMEM DMA vs VMEM scalar
+    # extraction vs DMA + static unroll — the DMA/extract balance is
+    # scene-dependent (measured EXACTLY neutral on bunny-class, r3)
+    [
+        {"leaf_mode": "dma2"},
+        {"leaf_mode": "scalar"},
+        {"leaf_mode": "dmastatic"},
+    ],
 ]
 
 

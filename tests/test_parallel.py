@@ -90,3 +90,40 @@ def test_packet_shard_count_invariance(n_dev):
         packed, statics, tile=1024, interpret=True, mesh=mesh
     )
     np.testing.assert_array_equal(np.asarray(fn(params)), baseline)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sample_sharded_progressive_matches_single(n_dev):
+    """Progressive batches shard the SAMPLE axis over the mesh (each
+    device renders K/n full frames on the fast laned path; one pmean
+    of the linear accumulation) — must match the single-device
+    progressive batch."""
+    from shader_ray_tpu.config import Config
+    from shader_ray_tpu.engine import Renderer
+
+    pos, _ = uv_sphere(lat=8, lon=12)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    env = procedural_sky(64)
+    statics = RenderStatics(width=128, height=32, tile_size=1024)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0.0, 0.0, 3.0).astype(np.float32)
+        )
+    )
+    cfg = Config()
+    cfg.prog_tile = 1024
+    single = Renderer(data, env, config=cfg, engine="packet")
+    base = np.asarray(single.make_progressive_fn(statics, 8)(params))
+
+    mesh = make_mesh(n_dev)
+    sharded = Renderer(data, env, config=cfg, engine="packet", mesh=mesh)
+    got = np.asarray(sharded.make_progressive_fn(statics, 8)(params))
+    assert got.shape == base.shape == (32, 128, 3)
+    # per-device partial means + pmean re-associate the f32 sum
+    np.testing.assert_allclose(got, base, atol=2e-6)
+
+    # checksum (reduce_sum) variant used by the benchmark fence
+    s = float(np.asarray(
+        sharded.make_progressive_fn(statics, 8, reduce_sum=True)(params)
+    ))
+    assert np.isfinite(s) and abs(s - float(base.sum())) < 1e-2
