@@ -613,14 +613,21 @@ def render_progressive_packet(
     when the batch/tile shape or debug mode does not allow it."""
     inner = statics._replace(do_tonemap=False)
     W, H = statics.width, statics.height
-    laned = _prefold_ok(statics, tile, mesh)
+    base_laned = _prefold_ok(statics, tile, mesh)
     K = jitters.shape[0]
     S = int(jitter_pack)
+    # the packed kernel tile is S*tile lanes, so only the PRODUCT must
+    # meet the 1024-lane minimum — sub-1024 pixel blocks (e.g. S=8 at
+    # block 512) are valid packed shapes for divergent scenes, where
+    # the per-block traversal union shrinks with the block
     packed_ok = (
-        S > 1 and laned and K % S == 0
+        S > 1 and mesh is None and K % S == 0
         and statics.which in (0, 1, 2)
+        and (H * W) % tile == 0
+        and tile % FOLD == 0
         and (tile * S) % (FOLD * 128) == 0
     )
+    laned = packed_ok or base_laned
 
     def step(acc, jit2):
         prm = params._replace(pixel_jitter=jit2)

@@ -48,6 +48,7 @@ DEFAULT_SPACE: list[list[dict]] = [
         {"jitter_pack": 2, "prog_tile": 4096},
         {"jitter_pack": 4, "prog_tile": 1024},
         {"jitter_pack": 4, "prog_tile": 2048},
+        {"jitter_pack": 8, "prog_tile": 512},
     ],
     # hit-leaf iteration ("" = auto: queue on the VMEM node tier)
     [

@@ -144,3 +144,11 @@ def test_jitter_pack_matches_sequential():
         )
     )
     np.testing.assert_array_equal(fb, seq)
+    # sub-1024 pixel block: only the PACKED kernel tile (S*block) must
+    # meet the 1024-lane minimum — S=4 at block 512 is a valid shape
+    got = np.asarray(
+        render_progressive_packet(
+            *args, tile=512, interpret=True, jitter_pack=4
+        )
+    )
+    np.testing.assert_allclose(got, seq, atol=2e-3, err_msg="S=4,block=512")
