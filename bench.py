@@ -113,13 +113,7 @@ def main() -> None:
     # BENCH_TUNE=1: autotune the engine schedule for this scene first
     # (results persist in the cache dir, so re-runs are free); the
     # headline then measures the tuned knobs.
-    if os.environ.get("BENCH_TUNE", "0") != "0" and BATCH > 1:
-        from shader_ray_tpu.utils.autotune import autotune
-
-        autotune(
-            renderer, statics, params,
-            samples=min(BATCH, 32), key=scene_key,
-        )
+    _maybe_tune(renderer, statics, params, scene_key)
 
     fn = renderer.make_fn(statics)
     # device-side checksum: fences the frame without fetching it (the
@@ -208,13 +202,32 @@ def main() -> None:
         except Exception as e:
             print(f"which1 bench failed: {e}", file=sys.stderr)
         try:
-            data340, env340, _ = build_scene_data(340000)
-            out["large_340k"] = _time_progressive(
-                Renderer(data340, env340), statics, params
-            )
+            data340, env340, key340 = build_scene_data(340000)
+            r340 = Renderer(data340, env340)
+            _maybe_tune(r340, statics, params, key340)
+            out["large_340k"] = _time_progressive(r340, statics, params)
         except Exception as e:
             print(f"340k bench failed: {e}", file=sys.stderr)
     print(json.dumps(out))
+
+
+def _maybe_tune(renderer, statics, params, scene_key) -> None:
+    """BENCH_TUNE=1: per-scene knob autotune (persisted next to the
+    scene cache; re-runs are cache hits) before the measurement.  Each
+    renderer's config instance is tuned independently, so the winner
+    applies only to its own sub-benchmark."""
+    import copy
+
+    if os.environ.get("BENCH_TUNE", "0") == "0" or BATCH <= 1:
+        return
+    from shader_ray_tpu.utils.autotune import autotune
+
+    # give each sub-benchmark its own config so a tuned knob set does
+    # not leak into the others (Renderer defaults to the process one)
+    renderer.cfg = copy.copy(renderer.cfg)
+    autotune(
+        renderer, statics, params, samples=min(BATCH, 32), key=scene_key
+    )
 
 
 def _time_progressive(renderer, statics, params, batch=None, frames=3) -> dict:
@@ -277,6 +290,7 @@ def bench_occluded(statics, fov) -> dict:
         diffuse_color=jnp.asarray(np.array([0.7, 0.6, 0.45], np.float32)),
         specular_color=jnp.asarray(np.array([0.04, 0.04, 0.04], np.float32)),
     )
+    _maybe_tune(renderer, statics, params, key)
     fsum = renderer.make_checksum_fn(statics)
     np.asarray(fsum(params))  # compile + warm
     t = None

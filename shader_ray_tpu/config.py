@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from contextlib import contextmanager
 
 
 def _env_int(name: str, default: int) -> int:
@@ -179,3 +180,20 @@ def get_config() -> Config:
 def set_config(c: Config) -> None:
     global _config
     _config = c
+
+
+@contextmanager
+def use_config(c: Config):
+    """Install ``c`` as the process config for the duration.  The
+    Renderer wraps every returned frame fn with this so kernel knobs
+    that are read from the global config at TRACE time (walk_pops,
+    leaf_scan — they live below several layers of call plumbing) honor
+    the renderer's own config instance, not whatever the process
+    global happens to be when the jit first executes."""
+    global _config
+    old = _config
+    _config = c
+    try:
+        yield
+    finally:
+        _config = old

@@ -101,13 +101,27 @@ class Renderer:
         else:
             raise ValueError(f"unknown engine {self.engine!r}")
 
+    def _cfg_wrap(self, fn):
+        """Run ``fn`` with this renderer's config installed as the
+        process config: kernel knobs read from the global at TRACE
+        time (walk_pops, leaf_scan) must honor ``self.cfg`` even when
+        it is not the process instance (autotune candidates, custom
+        Renderer configs)."""
+        from shader_ray_tpu.config import use_config
+
+        def wrapped(*a, **k):
+            with use_config(self.cfg):
+                return fn(*a, **k)
+
+        return wrapped
+
     def make_fn(self, statics: RenderStatics):
         if self.engine == "packet":
             import jax
 
             from shader_ray_tpu.ops.engine_pallas import make_packet_render_fn
 
-            return make_packet_render_fn(
+            return self._cfg_wrap(make_packet_render_fn(
                 self.packed, statics,
                 tile=self.cfg.ray_tile,
                 # Mosaic is TPU-only; elsewhere (CPU test meshes) the
@@ -118,7 +132,7 @@ class Renderer:
                 mesh=self.mesh,
                 leaf_mode=self.cfg.leaf_mode or None,
                 fused=self.cfg.packet_fused,
-            )
+            ))
         if self.mesh is not None:
             from shader_ray_tpu.parallel import make_sharded_render_fn
 
@@ -156,7 +170,9 @@ class Renderer:
                     fused=self.cfg.packet_fused,
                 ))
 
-            return lambda params: _fn(self.packed, params, statics)
+            return self._cfg_wrap(
+                lambda params: _fn(self.packed, params, statics)
+            )
 
         from shader_ray_tpu.ops.render import render_frame
 
@@ -243,9 +259,9 @@ class Renderer:
                     acc = tonemap_and_gamma(acc, statics.use_filmic)
                 return jnp.sum(acc) if rsum else acc
 
-            return lambda params: _sfn(
+            return self._cfg_wrap(lambda params: _sfn(
                 self.packed, jitters, params, reduce_sum
-            )
+            ))
 
         @functools.partial(jax.jit, static_argnames=("statics_", "rsum"))
         def _fn(packed_, jitters_, params, statics_, rsum):
@@ -256,9 +272,9 @@ class Renderer:
             )
             return jnp.sum(out) if rsum else out
 
-        return lambda params: _fn(
+        return self._cfg_wrap(lambda params: _fn(
             self.packed, jitters, params, statics, reduce_sum
-        )
+        ))
 
     def make_stats_fn(self, statics: RenderStatics):
         """Jitted ``fn(params) -> (n_tiles, 13)`` per-phase walk
@@ -300,7 +316,9 @@ class Renderer:
             )
             return res.stats
 
-        return lambda params: _fn(self.packed, params, statics)
+        return self._cfg_wrap(
+            lambda params: _fn(self.packed, params, statics)
+        )
 
     def make_count_fn(self, statics: RenderStatics):
         """Jitted ``fn(params) -> rays actually cast`` for one frame:
@@ -331,7 +349,9 @@ class Renderer:
                 )
                 return cast
 
-            return lambda params: _fn(self.packed, params, statics)
+            return self._cfg_wrap(
+                lambda params: _fn(self.packed, params, statics)
+            )
 
         from shader_ray_tpu.ops.render import trace_rays
 

@@ -29,7 +29,6 @@ import hashlib
 import json
 import os
 import time
-from contextlib import contextmanager
 
 import numpy as np
 
@@ -70,21 +69,6 @@ DEFAULT_SPACE: list[list[dict]] = [
         {"leaf_mode": "dmastatic"},
     ],
 ]
-
-
-@contextmanager
-def _as_global(cfg):
-    """Install ``cfg`` as the process config for the duration: kernel
-    construction reads walk_pops/leaf_scan from the global config at
-    trace time (packet_wide._default_pops/_default_leaf_scan)."""
-    from shader_ray_tpu.config import get_config, set_config
-
-    old = get_config()
-    set_config(cfg)
-    try:
-        yield
-    finally:
-        set_config(old)
 
 
 def _space_key(statics, samples: int, space) -> str:
@@ -133,16 +117,18 @@ def _time_candidate(renderer, cfg, statics, params, samples, frames):
     ``cfg`` (compile + warm excluded; device-fenced)."""
     r2 = copy.copy(renderer)  # shares the packed scene; swaps config
     r2.cfg = cfg
-    with _as_global(cfg):
-        pfn = r2.make_progressive_fn(statics, samples, reduce_sum=True)
-        if pfn is None:
-            raise RuntimeError("engine has no device-batched path")
-        np.asarray(pfn(params))  # compile + warm (trace under cfg)
-        ts = []
-        for _ in range(frames):
-            t0 = time.perf_counter()
-            np.asarray(pfn(params))  # scalar D2H = the honest fence
-            ts.append(time.perf_counter() - t0)
+    # the renderer installs cfg as the process config around every
+    # call (Renderer._cfg_wrap), so trace-time global reads
+    # (walk_pops, leaf_scan) see the candidate knobs
+    pfn = r2.make_progressive_fn(statics, samples, reduce_sum=True)
+    if pfn is None:
+        raise RuntimeError("engine has no device-batched path")
+    np.asarray(pfn(params))  # compile + warm (trace under cfg)
+    ts = []
+    for _ in range(frames):
+        t0 = time.perf_counter()
+        np.asarray(pfn(params))  # scalar D2H = the honest fence
+        ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) / samples
 
 
