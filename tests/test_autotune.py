@@ -71,3 +71,34 @@ def test_autotune_searches_applies_and_persists(tmp_path, monkeypatch):
     assert (
         load_tuned("tiny", statics._replace(which=1), 2, SPACE) is None
     )
+
+
+def test_renderer_traces_under_its_own_config(monkeypatch):
+    """Kernel knobs read from the process config at trace time
+    (walk_pops, leaf_scan) must see the RENDERER's config instance —
+    a custom-config Renderer used to inherit whatever the process
+    global was when the jit first executed."""
+    from shader_ray_tpu.config import get_config
+    from shader_ray_tpu.ops.pallas import packet_wide
+
+    pos, _ = uv_sphere(lat=8, lon=12)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    cfg = Config()
+    cfg.walk_pops = 2
+    assert get_config().walk_pops != 2, "ambient pops must differ (conftest pins 1)"
+
+    seen = []
+    orig = packet_wide._default_pops
+    monkeypatch.setattr(
+        packet_wide, "_default_pops",
+        lambda: (seen.append(orig()) or seen[-1]),
+    )
+    renderer = Renderer(data, procedural_sky(64), config=cfg, engine="packet")
+    statics = RenderStatics(width=64, height=16, tile_size=1024)
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0, 0, 3.0).astype(np.float32)
+        )
+    )
+    np.asarray(renderer.make_fn(statics)(params))
+    assert seen and all(p == 2 for p in seen), seen
