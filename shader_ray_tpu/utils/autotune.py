@@ -45,6 +45,9 @@ DEFAULT_SPACE: list[list[dict]] = [
         {"jitter_pack": 2, "prog_tile": 2048},
         {"jitter_pack": 1, "prog_tile": 4096},
         {"jitter_pack": 2, "prog_tile": 4096},
+        {"jitter_pack": 2, "prog_tile": 1024},
+        {"jitter_pack": 2, "prog_tile": 512},
+        {"jitter_pack": 4, "prog_tile": 512},
         {"jitter_pack": 4, "prog_tile": 1024},
         {"jitter_pack": 4, "prog_tile": 2048},
         {"jitter_pack": 8, "prog_tile": 512},
