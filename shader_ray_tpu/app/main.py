@@ -36,6 +36,8 @@ extra (headless equivalents of mouse gestures):
   stats        per-phase walk counters (steps/leaf visits per packet)
   tune [N]     autotune engine knobs for this scene (N-sample batches)
   view         toggle inline ANSI-truecolor display of each frame
+  serve [PORT] browser live viewer: serve frames + take mouse/keyboard
+               input over HTTP until quit (also --serve PORT)
   help         this text
 """
 
@@ -129,6 +131,11 @@ def repl(app, out_path: str, stream, view: bool = False) -> None:
             app.drag(0.0, float(parts[1]), shift=True)
         elif cmd == "stats":
             app.walk_stats(file=sys.stderr)
+        elif cmd == "serve":
+            _serve(app, int(parts[1]) if len(parts) > 1 else 8765)
+            if app.quit:
+                break
+            continue
         elif cmd == "tune":
             app.tune(
                 samples=int(parts[1]) if len(parts) > 1 else 32,
@@ -165,6 +172,18 @@ def repl(app, out_path: str, stream, view: bool = False) -> None:
         frame = app.render()
         if frame is not None:
             emit(frame)
+
+
+def _serve(app, port: int) -> None:
+    """Run the browser live viewer (app/webview.py) until the user
+    quits from the page (or Ctrl-C) — the interactive-window analog
+    of the reference's GLFW display (ray.cpp:964-984)."""
+    from shader_ray_tpu.app.webview import WebViewer
+
+    viewer = WebViewer(app, port=port)
+    print(f"live viewer at {viewer.start()}  (q in the page quits)",
+          file=sys.stderr)
+    viewer.run()
 
 
 def main(argv=None) -> int:
@@ -210,6 +229,15 @@ def main(argv=None) -> int:
         help="display each frame inline as ANSI truecolor (the headless "
         "analog of the reference's live window)",
     )
+    p.add_argument(
+        "--serve",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="browser live viewer: serve frames over HTTP on PORT and "
+        "take mouse/keyboard input from the page (the interactive-"
+        "window analog of the reference's GLFW display)",
+    )
     args = p.parse_args(argv)
 
     try:
@@ -228,6 +256,9 @@ def main(argv=None) -> int:
             from shader_ray_tpu.utils.ansi import print_frame
 
             print_frame(frame)
+        return 0
+    if args.serve is not None:
+        _serve(app, args.serve)
         return 0
     repl(app, args.out, sys.stdin, view=args.view)
     return 0
