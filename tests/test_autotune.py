@@ -79,7 +79,7 @@ def test_renderer_traces_under_its_own_config(monkeypatch):
     a custom-config Renderer used to inherit whatever the process
     global was when the jit first executed."""
     from shader_ray_tpu.config import get_config
-    from shader_ray_tpu.ops.pallas import packet_wide
+    from shader_ray_tpu.ops.pallas import packet_mega, packet_wide
 
     pos, _ = uv_sphere(lat=8, lon=12)
     data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
@@ -89,10 +89,12 @@ def test_renderer_traces_under_its_own_config(monkeypatch):
 
     seen = []
     orig = packet_wide._default_pops
-    monkeypatch.setattr(
-        packet_wide, "_default_pops",
-        lambda: (seen.append(orig()) or seen[-1]),
-    )
+    spy = lambda: (seen.append(orig()) or seen[-1])
+    # patch BOTH seams: packet_mega binds the name at import time, so
+    # in a full-suite run (module already imported) patching only
+    # packet_wide would miss the fused path
+    monkeypatch.setattr(packet_wide, "_default_pops", spy)
+    monkeypatch.setattr(packet_mega, "_default_pops", spy)
     renderer = Renderer(data, procedural_sky(64), config=cfg, engine="packet")
     statics = RenderStatics(width=64, height=16, tile_size=1024)
     params = default_frame_params()._replace(
