@@ -71,7 +71,49 @@ def build_scene_data(tris: int | None = None):
     return data, procedural_sky(2048), key
 
 
+def _wait_for_backend() -> None:
+    """Block until the JAX backend initializes, probing in SUBPROCESSES.
+
+    The axon TPU tunnel sporadically goes down in a way that blocks
+    ``import jax`` (or the first ``jax.devices()``) in-process for
+    minutes with no recovery path (CLAUDE.md "axon TPU platform").
+    When that happens mid-bench the whole run hangs and the round
+    records nothing.  Probing in a killable subprocess keeps THIS
+    process clean: only after a probe succeeds do we import jax here.
+    BENCH_WAIT_S bounds the total wait (default 900 s; 0 disables).
+    On deadline we proceed anyway and let the real import fail loudly.
+    """
+    import subprocess
+
+    deadline = time.monotonic() + float(os.environ.get("BENCH_WAIT_S", "900"))
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp; "
+        "d = jax.devices(); "
+        "print('PROBE_OK', d[0].platform, "
+        "float(np.asarray(jnp.sum(jnp.ones((8, 8))))))"
+    )
+    attempt = 0
+    while time.monotonic() < deadline:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=180,
+            )
+            if "PROBE_OK" in r.stdout:
+                if attempt > 1:
+                    print(f"backend up after {attempt} probes", file=sys.stderr)
+                return
+            msg = (r.stderr.strip().splitlines() or ["?"])[-1][:200]
+            print(f"backend probe {attempt} failed: {msg}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"backend probe {attempt} timed out (180s)", file=sys.stderr)
+        time.sleep(min(30.0, max(0.0, deadline - time.monotonic())))
+    print("backend wait deadline reached; proceeding", file=sys.stderr)
+
+
 def main() -> None:
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
