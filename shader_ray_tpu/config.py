@@ -102,6 +102,20 @@ class Config:
     walk_pops: int = 4               # stack entries popped per walk step
                                      # (1/2/4); one scalar sync serves all
                                      # their children (4 measured best)
+    min_contrib: float = 0.0         # throughput cutoff (fused megakernel):
+                                     # retire bounce lanes whose Schlick
+                                     # modulation max-component falls at/
+                                     # below this — their env term then uses
+                                     # the current direction (the escape-now
+                                     # result), so the per-pixel error is
+                                     # bounded by min_contrib * max radiance.
+                                     # The reference always runs 3 bounces
+                                     # (fs:550); 0 = reference-exact.  Lane
+                                     # retirement shrinks the packet's
+                                     # traversal union, so dielectric scenes
+                                     # (mod ~ F0^2 ~ 0.0025 by bounce 2) skip
+                                     # most bounce-2 walk/leaf work at
+                                     # thresholds far below 8-bit visibility
     packet_max_steps: int = 0        # packet walk budget; 0 = 2*nodes+2
     debug_nans: bool = False         # jax_debug_nans (SURVEY 5.2 sanitizer)
     validate_scene: bool = False     # structural index-bounds sanitizer
@@ -157,6 +171,11 @@ class Config:
             raise ValueError(
                 f"SRT_POPS={c.walk_pops} invalid: the wide walker pops "
                 "1, 2, or 4 stack entries per step"
+            )
+        c.min_contrib = _env_float("SRT_MIN_CONTRIB", c.min_contrib)
+        if c.min_contrib < 0.0:
+            raise ValueError(
+                f"SRT_MIN_CONTRIB={c.min_contrib} invalid: need >= 0"
             )
         c.packet_max_steps = _env_int("SRT_MAX_STEPS", c.packet_max_steps)
         c.debug_nans = os.environ.get("SRT_DEBUG_NANS") is not None

@@ -81,6 +81,7 @@ def mega_kernel(
     isect: str = "mt",
     shared_origin: bool = False,
     leaf_scan: str = "ctz",
+    min_contrib: float = 0.0,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -261,6 +262,20 @@ def mega_kernel(
             gyy = jnp.where(hit_ok, gyy - 2.0 * gdy, gyy)
             gyz = jnp.where(hit_ok, gyz - 2.0 * gdy, gyz)
         act = hit_ok
+        if min_contrib > 0.0 and _bounce + 1 < bounce_count:
+            # throughput cutoff: a retired lane's env term uses its
+            # CURRENT reflected direction — exactly the result had the
+            # next walk missed — so the per-pixel error is bounded by
+            # mod * (radiance difference), <= min_contrib * O(1).  The
+            # win is structural: per-lane retirement shrinks the
+            # packet's slab-test union, cutting later-bounce walk
+            # steps and leaf visits (the frame's dominant cost) for
+            # everything but grazing-Fresnel lanes.
+            act = act & (
+                (mod[0] > min_contrib)
+                | (mod[1] > min_contrib)
+                | (mod[2] > min_contrib)
+            )
 
     acc_ref[0:F, :], acc_ref[F : 2 * F, :], acc_ref[2 * F :, :] = acc
     mod_ref[0:F, :], mod_ref[F : 2 * F, :], mod_ref[2 * F :, :] = mod

@@ -77,6 +77,7 @@ def packet_shade(
     prefolded: bool = False,
     pops: int | None = None,
     shared_origin: bool = False,
+    min_contrib: float | None = None,
 ) -> ShadeResult:
     """Fused bounce pipeline over a world-space ray batch.
 
@@ -134,6 +135,10 @@ def packet_shade(
     if max_steps is None:
         max_steps = scene.n_wide + 2
     pops = pops if pops is not None else _default_pops()
+    if min_contrib is None:
+        from shader_ray_tpu.config import get_config
+
+        min_contrib = get_config().min_contrib
     # multi-pop advances up to ``pops`` disjoint branches at once, so
     # the short-stack worst case scales by pops
     stack_depth = scene.stack_depth * pops
@@ -159,6 +164,7 @@ def packet_shade(
         isect=scene.isect,
         shared_origin=shared_origin,
         leaf_scan=_default_leaf_scan(scene.node_src),
+        min_contrib=min_contrib,
     )
 
     full = lambda shape: pl.BlockSpec(

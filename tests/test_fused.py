@@ -121,6 +121,39 @@ def test_fused_cast_counts_match(packed):
     assert R <= int(cast_fu) <= 6 * R
 
 
+def test_fused_min_contrib_cutoff(packed):
+    """SRT_MIN_CONTRIB throughput cutoff: retiring lanes whose Schlick
+    modulation fell below the threshold must (a) actually cast fewer
+    rays and (b) stay within the documented error bound — a retired
+    lane's env term uses its current direction, so per-pixel error is
+    bounded by ~min_contrib * radiance range (kernel_mega.py)."""
+    from shader_ray_tpu.config import Config, use_config
+
+    statics = RenderStatics(width=40, height=32)
+    params = _params()
+    rays, _ = generate_rays(statics, params)
+    exact, cast_exact = trace_rays_packet(
+        packed, rays, params, statics, tile=1024, interpret=True,
+        with_counts=True, fused=True,
+    )
+    # the fixture sphere is convex (reflections never re-hit), so only
+    # a cutoff ABOVE the off-grazing bounce-0 modulation (F0 = 0.1)
+    # retires anything here; grazing-Fresnel lanes must survive it
+    cutoff = 0.15
+    cfg = Config()
+    cfg.min_contrib = cutoff
+    with use_config(cfg):
+        cut, cast_cut = trace_rays_packet(
+            packed, rays, params, statics, tile=1024, interpret=True,
+            with_counts=True, fused=True,
+        )
+    assert int(cast_cut) < int(cast_exact), "cutoff retired no lanes"
+    delta = np.abs(np.asarray(cut) - np.asarray(exact)).max()
+    assert delta <= 3 * cutoff, f"cutoff error {delta} exceeds bound"
+    # default config is reference-exact (min_contrib = 0)
+    assert Config().min_contrib == 0.0
+
+
 def test_fused_ray_padding(packed):
     """A ray count that does not divide the tile exercises the padded
     inactive lanes (unit-z directions, zero active mask)."""
