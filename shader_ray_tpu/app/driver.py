@@ -250,6 +250,59 @@ class App:
         self._fn_cache.clear()
         return best
 
+    # knobs consumed when the scene is PACKED (Renderer construction) —
+    # setting them live cannot affect the already-packed session
+    _PACK_TIME_KNOBS = frozenset({
+        "bvh_leaf_max", "bvh_max_depth", "sah_ctrav", "sah_cisec",
+        "colors_are_linear", "geometry_scale", "screen_gamma",
+        "collapse", "leaf_isect", "env_res", "env_mip_res", "node_src",
+        "engine", "packet_kernel", "use_native", "scene_cache",
+    })
+
+    def set_knob(self, name: str, value: str, file=sys.stdout) -> bool:
+        """Set a Config knob on the live session by field name (REPL
+        ``set NAME VALUE``), coercing the string to the field's type.
+        Trace-time knobs (walk_pops, leaf_mode, min_contrib, ...) take
+        effect on the next render — cached frame fns are dropped, like
+        ``tune`` — while pack-time knobs only warn (they need a scene
+        reload).  No reference analog beyond its env-var tier
+        (SURVEY.md section 5.6); this is the interactive face of the
+        same config system."""
+        import dataclasses
+
+        fields = {f.name for f in dataclasses.fields(type(self.cfg))}
+        if name not in fields:
+            print(
+                f"unknown knob {name!r}; knobs: {', '.join(sorted(fields))}",
+                file=file,
+            )
+            return False
+        cur = getattr(self.cfg, name)
+        typ = bool if isinstance(cur, bool) else type(cur)
+        try:
+            if typ is bool:
+                val = value.lower() in ("1", "true", "on", "yes")
+            else:
+                val = typ(value)
+        except ValueError:
+            print(f"cannot parse {value!r} as {typ.__name__}", file=file)
+            return False
+        setattr(self.cfg, name, val)
+        # the Renderer traces under its OWN config instance (it may be
+        # a copy, e.g. bench/autotune) — keep it in step
+        rcfg = getattr(self.renderer, "cfg", None)
+        if rcfg is not None and rcfg is not self.cfg:
+            setattr(rcfg, name, val)
+        self._fn_cache.clear()
+        self.redraw = True
+        note = (
+            "  (pack-time knob: takes effect after a scene reload)"
+            if name in self._PACK_TIME_KNOBS
+            else ""
+        )
+        print(f"{name} = {val}{note}", file=file)
+        return True
+
     def screenshot(self, path: str = "color.ppm") -> str:
         """Write the current frame as binary PPM (P6) — the reference's
         color.ppm contract."""

@@ -35,6 +35,8 @@ extra (headless equivalents of mouse gestures):
   prog [N]     progressive render: average N jittered samples (default 4)
   stats        per-phase walk counters (steps/leaf visits per packet)
   tune [N]     autotune engine knobs for this scene (N-sample batches)
+  set K V      set a config knob live (e.g. `set walk_pops 2`,
+               `set min_contrib 0.004`); `set` alone lists knobs
   view         toggle inline ANSI-truecolor display of each frame
   serve [PORT] browser live viewer: serve frames + take mouse/keyboard
                input over HTTP until quit (also --serve PORT)
@@ -141,6 +143,12 @@ def repl(app, out_path: str, stream, view: bool = False) -> None:
                 samples=int(parts[1]) if len(parts) > 1 else 32,
                 file=sys.stderr,
             )
+            continue
+        elif cmd == "set":
+            if len(parts) == 3:
+                app.set_knob(parts[1], parts[2], file=sys.stderr)
+            else:
+                app.set_knob("", "", file=sys.stderr)  # lists knobs
             continue
         elif cmd == "prog":
             n = int(parts[1]) if len(parts) > 1 else 4

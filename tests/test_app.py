@@ -141,6 +141,34 @@ def test_key_cycles(app):
     app.quit = False
 
 
+def test_set_knob(app):
+    """REPL `set`: live config-knob updates with type coercion; cached
+    frame fns drop so the next render traces under the new knob."""
+    import io
+
+    out = io.StringIO()
+    old = app.cfg.walk_pops
+    assert app.set_knob("walk_pops", "2", file=out)
+    assert app.cfg.walk_pops == 2
+    assert app.renderer.cfg.walk_pops == 2
+    assert app.redraw and not app._fn_cache
+    assert app.set_knob("min_contrib", "0.004", file=out)
+    assert app.cfg.min_contrib == pytest.approx(0.004)
+    assert app.set_knob("cast_shadows", "off", file=out)
+    assert app.cfg.cast_shadows is False
+    app.set_knob("cast_shadows", "on", file=out)
+    # pack-time knobs warn; unknown/garbage rejected without mutation
+    assert app.set_knob("collapse", "greedy", file=out)
+    assert "pack-time" in out.getvalue()
+    assert not app.set_knob("no_such_knob", "1", file=out)
+    assert not app.set_knob("walk_pops", "fast", file=out)
+    assert app.cfg.walk_pops == 2
+    app.cfg.walk_pops = old
+    app.renderer.cfg.walk_pops = old
+    app.cfg.min_contrib = 0.0
+    app.cfg.collapse = "sah"
+
+
 def test_render_damage_driven(app):
     app.redraw = True
     f1 = app.render()
