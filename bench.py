@@ -66,6 +66,7 @@ def build_scene_data(tris: int | None = None):
     key = (
         f"bench-bunny-class-{tris // 1000}k"
         f"-l{cfg.bvh_leaf_max}-d{cfg.bvh_max_depth}"
+        + (f"-{cfg.splits}" if cfg.splits != "object" else "")
     )
     data = cached_scene_data(key, builder, verbose=True)
     return data, procedural_sky(2048), key
@@ -81,13 +82,28 @@ def _wait_for_backend() -> None:
     records nothing.  Probing in a killable subprocess keeps THIS
     process clean: only after a probe succeeds do we import jax here.
     BENCH_WAIT_S bounds the total wait (default 900 s; 0 disables).
-    On deadline we proceed anyway and let the real import fail loudly.
+    On deadline with the backend still down we EXIT after printing a
+    fallback JSON line: ``import jax`` would block unrecoverably in
+    this process (axon rule: nothing in-process can recover a down
+    tunnel), and a hung bench records nothing at all for the round.
     """
     import subprocess
 
-    deadline = time.monotonic() + float(os.environ.get("BENCH_WAIT_S", "900"))
+    wait_s = float(os.environ.get("BENCH_WAIT_S", "900"))
+    if wait_s <= 0:  # disabled: skip probing, let the import just run
+        return
+    deadline = time.monotonic() + wait_s
+    # the probe ENABLES the persistent compile cache and gets a long
+    # (420 s) budget: axon cold compiles run 7-260 s, and killing a
+    # probe MID-DISPATCH leaves dispatched-but-unfetched device work —
+    # the exact tunnel-wedging pattern this function exists to avoid
+    # (CLAUDE.md axon rule 3).  A down tunnel blocks in import/device
+    # init long before any dispatch, so the kill there stays safe.
     code = (
+        "from shader_ray_tpu.utils.compcache import "
+        "enable_compilation_cache; "
         "import jax, numpy as np, jax.numpy as jnp; "
+        "enable_compilation_cache(); "
         "d = jax.devices(); "
         "print('PROBE_OK', d[0].platform, "
         "float(np.asarray(jnp.sum(jnp.ones((8, 8))))))"
@@ -95,10 +111,12 @@ def _wait_for_backend() -> None:
     attempt = 0
     while time.monotonic() < deadline:
         attempt += 1
+        budget = min(420.0, max(60.0, deadline - time.monotonic()))
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=180,
+                capture_output=True, text=True, timeout=budget,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             if "PROBE_OK" in r.stdout:
                 if attempt > 1:
@@ -107,9 +125,22 @@ def _wait_for_backend() -> None:
             msg = (r.stderr.strip().splitlines() or ["?"])[-1][:200]
             print(f"backend probe {attempt} failed: {msg}", file=sys.stderr)
         except subprocess.TimeoutExpired:
-            print(f"backend probe {attempt} timed out (180s)", file=sys.stderr)
+            print(
+                f"backend probe {attempt} timed out ({budget:.0f}s)",
+                file=sys.stderr,
+            )
         time.sleep(min(30.0, max(0.0, deadline - time.monotonic())))
-    print("backend wait deadline reached; proceeding", file=sys.stderr)
+    # the tunnel is still down: importing jax here would block this
+    # process unrecoverably.  Record the outage as an honest JSON line
+    # (value 0, error field) so the round logs SOMETHING, and exit.
+    print("backend unavailable after deadline; aborting", file=sys.stderr)
+    print(json.dumps({
+        "metric": "mrays_per_s", "value": 0.0, "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "error": "jax backend unavailable (axon tunnel down) after "
+                 f"{attempt} probes / BENCH_WAIT_S deadline",
+    }))
+    sys.exit(2)
 
 
 def main() -> None:
@@ -330,6 +361,7 @@ def bench_occluded(statics, fov) -> dict:
     key = (
         f"bench-terrain-{tris // 1000}k"
         f"-l{cfg.bvh_leaf_max}-d{cfg.bvh_max_depth}"
+        + (f"-{cfg.splits}" if cfg.splits != "object" else "")
     )
     data = cached_scene_data(key, builder, verbose=True)
     renderer = Renderer(data, procedural_sky(2048))

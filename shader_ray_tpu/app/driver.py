@@ -255,7 +255,7 @@ class App:
     _PACK_TIME_KNOBS = frozenset({
         "bvh_leaf_max", "bvh_max_depth", "sah_ctrav", "sah_cisec",
         "colors_are_linear", "geometry_scale", "screen_gamma",
-        "collapse", "leaf_isect", "env_res", "env_mip_res", "node_src",
+        "collapse", "splits", "leaf_isect", "env_res", "env_mip_res", "node_src",
         "engine", "packet_kernel", "use_native", "scene_cache",
     })
 
@@ -281,13 +281,29 @@ class App:
         typ = bool if isinstance(cur, bool) else type(cur)
         try:
             if typ is bool:
-                val = value.lower() in ("1", "true", "on", "yes")
+                low = value.lower()
+                if low in ("1", "true", "on", "yes"):
+                    val = True
+                elif low in ("0", "false", "off", "no"):
+                    val = False
+                else:
+                    raise ValueError(value)
             else:
                 val = typ(value)
         except ValueError:
             print(f"cannot parse {value!r} as {typ.__name__}", file=file)
             return False
         setattr(self.cfg, name, val)
+        try:
+            # same range/choice checks as env parsing — a type-valid
+            # but invalid value must fail HERE, not as a Mosaic
+            # assertion deep in kernel construction
+            self.cfg.validate()
+        except ValueError as e:
+            setattr(self.cfg, name, cur)
+            print(str(e), file=file)
+            return False
+        val = getattr(self.cfg, name)  # validate() may normalize
         # the Renderer traces under its OWN config instance (it may be
         # a copy, e.g. bench/autotune) — keep it in step
         rcfg = getattr(self.renderer, "cfg", None)

@@ -190,7 +190,13 @@ class WebViewer:
                 self.app.benchmark(file=sys.stderr)
             frame = self.app.render()
             if frame is None:
-                return False
+                if self._png is None and self.app._frame is not None:
+                    # app was clean when serving started (the REPL
+                    # renders before the command loop): seed from the
+                    # existing frame so /frame.png never 404s
+                    frame = self.app._frame
+                else:
+                    return False
             self._png = encode_png(frame)
             self.serial += 1
             return True

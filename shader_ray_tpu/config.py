@@ -72,6 +72,11 @@ class Config:
                                      # (measured 38.1 vs 39.9 ms r2) |
                                      # "mt" raw-vertex Moller-Trumbore
     collapse: str = "sah"            # wide collapse: "sah" DP | "greedy"
+    splits: str = "object"           # binary build: "object" (reference
+                                     # algorithm, bit-compatible with
+                                     # native libscene) | "sbvh" spatial
+                                     # splits (Stich 2009; duplicated
+                                     # clipped refs, models/sbvh.py)
     env_res: int = 256               # mode-0 env sampling height (W = 2H);
                                      # dense-MXU cost scales with H*W
     env_mip_res: int = 512           # mode-1 (textureGrad) atlas base height
@@ -123,6 +128,59 @@ class Config:
     scene_cache: bool = True         # cache compiled scenes (SURVEY 5.4)
     use_native: str = "auto"         # "auto" | "never" | "require" C++ libscene
 
+    # choice sets shared by from_env and live edits (App.set_knob)
+    _CHOICES = {
+        "engine": ("auto", "packet", "wavefront"),
+        "packet_kernel": ("wide", "binary"),
+        "leaf_mode": ("", "scalar", "dma", "dma2", "dmastatic"),
+        "node_src": ("", "smem", "vmem"),
+        "leaf_scan": ("", "ctz", "queue"),
+        "leaf_isect": ("mt", "woop"),
+        "collapse": ("sah", "greedy"),
+        "splits": ("object", "sbvh"),
+        "use_native": ("auto", "never", "require"),
+    }
+
+    def validate(self) -> "Config":
+        """Normalize + range/choice-check every knob.  Shared by
+        from_env and live edits (App.set_knob) so a type-valid but
+        out-of-range value fails here with a clear message instead of
+        as a Mosaic assertion deep inside kernel construction."""
+        if self.leaf_scan == "auto":
+            self.leaf_scan = ""
+        for name, choices in self._CHOICES.items():
+            v = getattr(self, name)
+            if v not in choices:
+                raise ValueError(f"{name}={v!r}: use one of {choices}")
+        if self.walk_pops not in (1, 2, 4):
+            raise ValueError(
+                f"walk_pops={self.walk_pops} invalid: the wide walker "
+                "pops 1, 2, or 4 stack entries per step"
+            )
+        if self.min_contrib < 0.0:
+            raise ValueError(
+                f"min_contrib={self.min_contrib} invalid: need >= 0"
+            )
+        if self.jitter_pack < 1:
+            raise ValueError(
+                f"jitter_pack={self.jitter_pack} invalid: need >= 1"
+            )
+        c = self.ray_tile // 8
+        if self.ray_tile % 1024 or c & (c - 1):
+            raise ValueError(
+                f"ray_tile={self.ray_tile} invalid: the packet kernels "
+                "need a power-of-two multiple of 1024"
+            )
+        if self.prog_tile:
+            c = self.prog_tile // 8
+            if self.prog_tile % 128 or c & (c - 1):
+                raise ValueError(
+                    f"prog_tile={self.prog_tile} invalid: need a "
+                    "power-of-two multiple of 128 (sub-1024 blocks are "
+                    "only valid jitter-packed)"
+                )
+        return self
+
     @staticmethod
     def from_env() -> "Config":
         c = Config()
@@ -142,47 +200,25 @@ class Config:
         if os.environ.get("SRT_NODE_SRC"):
             c.node_src = os.environ["SRT_NODE_SRC"]
         c.leaf_scan = os.environ.get("SRT_LEAF_SCAN", c.leaf_scan)
-        if c.leaf_scan not in ("", "auto", "ctz", "queue"):
-            raise ValueError(
-                f"SRT_LEAF_SCAN={c.leaf_scan!r}: use 'auto', 'ctz' or 'queue'"
-            )
-        if c.leaf_scan == "auto":
-            c.leaf_scan = ""
         c.leaf_isect = os.environ.get("SRT_ISECT", c.leaf_isect)
-        if c.leaf_isect not in ("mt", "woop"):
-            raise ValueError(f"SRT_ISECT={c.leaf_isect!r}: use 'mt' or 'woop'")
         c.collapse = os.environ.get("SRT_COLLAPSE", c.collapse)
-        if c.collapse not in ("sah", "greedy"):
-            raise ValueError(f"SRT_COLLAPSE={c.collapse!r}: use 'sah' or 'greedy'")
+        c.splits = os.environ.get("SRT_SPLITS", c.splits)
         c.env_res = _env_int("SRT_ENV_RES", c.env_res)
         c.env_mip_res = _env_int("SRT_ENV_MIP_RES", c.env_mip_res)
         c.env_aniso = _env_int("SRT_ENV_ANISO", c.env_aniso)
         c.ray_tile = _env_int("SRT_RAY_TILE", c.ray_tile)
         c.jitter_pack = _env_int("SRT_JITTER_PACK", c.jitter_pack)
-        if c.jitter_pack < 1:
-            raise ValueError(
-                f"SRT_JITTER_PACK={c.jitter_pack} invalid: need >= 1"
-            )
         c.prog_tile = _env_int("SRT_PROG_TILE", c.prog_tile)
         c.packet_fused = _env_int("SRT_FUSED", int(c.packet_fused)) != 0
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
         c.walk_pops = _env_int("SRT_POPS", c.walk_pops)
-        if c.walk_pops not in (1, 2, 4):
-            raise ValueError(
-                f"SRT_POPS={c.walk_pops} invalid: the wide walker pops "
-                "1, 2, or 4 stack entries per step"
-            )
         c.min_contrib = _env_float("SRT_MIN_CONTRIB", c.min_contrib)
-        if c.min_contrib < 0.0:
-            raise ValueError(
-                f"SRT_MIN_CONTRIB={c.min_contrib} invalid: need >= 0"
-            )
         c.packet_max_steps = _env_int("SRT_MAX_STEPS", c.packet_max_steps)
         c.debug_nans = os.environ.get("SRT_DEBUG_NANS") is not None
         c.validate_scene = os.environ.get("SRT_VALIDATE") is not None
         if os.environ.get("SRT_NATIVE"):
             c.use_native = os.environ["SRT_NATIVE"]
-        return c
+        return c.validate()
 
 
 _config: Config | None = None

@@ -158,6 +158,26 @@ def make_world(
             scene_extent=scene_extent,
             triangle_count=tcount,
         )
+    if cfg.splits == "sbvh":
+        # spatial-split build (models/sbvh.py): Python-only — the
+        # native builder implements the reference's object-split
+        # algorithm bit-compatibly and stays that way
+        from shader_ray_tpu.models.sbvh import make_sbvh
+
+        bvh = make_sbvh(
+            triangles.positions[triangles.indices] if tcount else
+            np.zeros((0, 3, 3), np.float32),
+            cfg, verbose=verbose,
+        )
+        if verbose:
+            print(f"SBVH: {time.monotonic() - then:f} seconds", file=sys.stderr)
+        return World(
+            triangles=triangles,
+            bvh=bvh,
+            scene_center=scene_center,
+            scene_extent=scene_extent,
+            triangle_count=tcount,
+        )
     if cfg.use_native != "never":
         from shader_ray_tpu import native
 
@@ -214,9 +234,12 @@ def get_shader_data(world: World, config: Config | None = None, verbose: bool = 
         print(f"hitmiss: {time.monotonic() - then:f} seconds", file=sys.stderr)
 
     ts = world.triangles
-    T = world.triangle_count
+    # R == T for the reference (permutation) builds; the SBVH build
+    # (models/sbvh.py) may duplicate references, so triangle tables and
+    # SceneData.triangle_count are sized by the REFERENCE count
+    T = len(order) if order is not None else world.triangle_count
     if T > 0:
-        idx = ts.indices[order]              # (T, 3)
+        idx = ts.indices[order]              # (R, 3)
         tri_positions = ts.positions[idx].reshape(T, 9)
         tri_normals = ts.normals[idx].reshape(T, 9)
         tri_colors = ts.colors[idx].reshape(T, 9)
@@ -256,7 +279,7 @@ def scene_fingerprint(filename: str, config: Config | None = None) -> str:
             h.update(chunk)
     key = (
         f"{cfg.bvh_leaf_max}|{cfg.bvh_max_depth}|{cfg.sah_ctrav}|{cfg.sah_cisec}"
-        f"|{cfg.colors_are_linear}|{cfg.geometry_scale}|v1"
+        f"|{cfg.colors_are_linear}|{cfg.geometry_scale}|{cfg.splits}|v1"
     )
     h.update(key.encode())
     return h.hexdigest()[:24]

@@ -613,21 +613,34 @@ def render_progressive_packet(
     when the batch/tile shape or debug mode does not allow it."""
     inner = statics._replace(do_tonemap=False)
     W, H = statics.width, statics.height
-    base_laned = _prefold_ok(statics, tile, mesh)
     K = jitters.shape[0]
     S = int(jitter_pack)
+
     # the packed kernel tile is S*tile lanes, so only the PRODUCT must
     # meet the 1024-lane minimum — sub-1024 pixel blocks (e.g. S=8 at
     # block 512) are valid packed shapes for divergent scenes, where
     # the per-block traversal union shrinks with the block
-    packed_ok = (
-        S > 1 and mesh is None and K % S == 0
-        and statics.which in (0, 1, 2)
-        and (H * W) % tile == 0
-        and tile % FOLD == 0
-        and (tile * S) % (FOLD * 128) == 0
-    )
-    laned = packed_ok or base_laned
+    def _packed_ok(s: int) -> bool:
+        return (
+            s > 1 and mesh is None and K % s == 0
+            and statics.which in (0, 1, 2)
+            and (H * W) % tile == 0
+            and tile % FOLD == 0
+            and (tile * s) % (FOLD * 128) == 0
+        )
+
+    if S > 1 and not _packed_ok(S):
+        # degrade to the largest packing that still divides the batch
+        # (e.g. an autotuned S=8 winner driven with K=4 runs S=4) so a
+        # persisted sub-1024 block stays on the packed path for any K
+        S = next((s for s in range(min(S, K), 1, -1) if _packed_ok(s)), 1)
+    packed_ok = _packed_ok(S)
+    if not packed_ok and tile % (FOLD * 128) != 0:
+        # UNPACKED frames need the full 1024-lane kernel minimum —
+        # sub-1024 pixel blocks are only a valid shape packed (the
+        # kernel tile there is S * block lanes)
+        tile = -(-tile // (FOLD * 128)) * (FOLD * 128)
+    laned = packed_ok or _prefold_ok(statics, tile, mesh)
 
     def step(acc, jit2):
         prm = params._replace(pixel_jitter=jit2)

@@ -163,6 +163,21 @@ def test_set_knob(app):
     assert not app.set_knob("no_such_knob", "1", file=out)
     assert not app.set_knob("walk_pops", "fast", file=out)
     assert app.cfg.walk_pops == 2
+    # type-valid but RANGE-invalid values hit Config.validate() and
+    # revert — not a Mosaic assertion deep in kernel construction
+    assert not app.set_knob("walk_pops", "3", file=out)
+    assert app.cfg.walk_pops == 2
+    assert not app.set_knob("min_contrib", "-1", file=out)
+    assert app.cfg.min_contrib == pytest.approx(0.004)
+    assert not app.set_knob("ray_tile", "1000", file=out)
+    assert not app.set_knob("leaf_mode", "bogus", file=out)
+    assert "one of" in out.getvalue()
+    # bool knobs reject garbage instead of parsing it as False
+    assert not app.set_knob("cast_shadows", "maybe", file=out)
+    assert app.cfg.cast_shadows is True
+    # validate() may normalize: leaf_scan 'auto' stores as ''
+    assert app.set_knob("leaf_scan", "auto", file=out)
+    assert app.cfg.leaf_scan == ""
     app.cfg.walk_pops = old
     app.renderer.cfg.walk_pops = old
     app.cfg.min_contrib = 0.0

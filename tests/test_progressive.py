@@ -130,20 +130,37 @@ def test_jitter_pack_matches_sequential():
     seq = np.asarray(
         render_progressive_packet(*args, tile=1024, interpret=True)
     )
+    packs = {}
     for S in (2, 4):
-        got = np.asarray(
+        packs[S] = np.asarray(
             render_progressive_packet(
                 *args, tile=1024, interpret=True, jitter_pack=S
             )
         )
-        np.testing.assert_allclose(got, seq, atol=2e-3, err_msg=f"S={S}")
-    # K=4 not divisible by S=3: must fall back to the sequential path
+        np.testing.assert_allclose(packs[S], seq, atol=2e-3, err_msg=f"S={S}")
+    # K=4 not divisible by S=3: degrades to the largest packing that
+    # divides the batch (S=2) — bit-identical to an explicit S=2 run
     fb = np.asarray(
         render_progressive_packet(
             *args, tile=1024, interpret=True, jitter_pack=3
         )
     )
-    np.testing.assert_array_equal(fb, seq)
+    np.testing.assert_array_equal(fb, packs[2])
+    # an autotuned S=8 winner driven with a K=4 batch runs as S=4
+    fb8 = np.asarray(
+        render_progressive_packet(
+            *args, tile=1024, interpret=True, jitter_pack=8
+        )
+    )
+    np.testing.assert_array_equal(fb8, packs[4])
+    # UNPACKED sub-1024 block: rounds up to the 1024-lane kernel
+    # minimum instead of building an invalid Mosaic shape
+    up = np.asarray(
+        render_progressive_packet(
+            *args, tile=512, interpret=True, jitter_pack=1
+        )
+    )
+    np.testing.assert_array_equal(up, seq)
     # sub-1024 pixel block: only the PACKED kernel tile (S*block) must
     # meet the 1024-lane minimum — S=4 at block 512 is a valid shape
     got = np.asarray(

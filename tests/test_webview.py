@@ -123,3 +123,24 @@ def test_webview_http_surface():
         assert b"shader-ray-tpu" in _get(url)
     finally:
         viewer.stop()
+
+
+def test_webview_seeds_from_existing_frame():
+    """If the app already rendered before serving started (the REPL
+    renders before its command loop), the first step() seeds the PNG
+    from the existing frame instead of 404ing until the next damage."""
+    from shader_ray_tpu.app.webview import WebViewer
+
+    app = _tiny_app()
+    app.render()                       # app is now CLEAN with a frame
+    assert app._frame is not None and not app.redraw
+    viewer = WebViewer(app, port=0)
+    url = viewer.start()
+    try:
+        assert viewer.step()           # seeded, not re-rendered
+        frame = decode_png(_get(url + "frame.png"))
+        want = (np.clip(app._frame, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+        assert np.array_equal(frame, want)
+        assert not viewer.step()       # still clean afterwards
+    finally:
+        viewer.stop()
