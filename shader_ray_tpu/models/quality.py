@@ -46,6 +46,7 @@ class WideTreeHost:
     is_leaf: np.ndarray          # (N,) bool over binary ids
     boxes: np.ndarray            # (N, 8) f32 binary node boxes
     objects: np.ndarray          # (N, 2) i32 (start, count)
+    subtree_tris: np.ndarray | None = None  # (N,) i64 tris under node
 
 
 def build_wide_tree(data: SceneData, config: Config | None = None) -> WideTreeHost:
@@ -54,12 +55,32 @@ def build_wide_tree(data: SceneData, config: Config | None = None) -> WideTreeHo
 
     fn = _collapse_greedy if cfg.collapse == "greedy" else _collapse_sah
     wide_children, wid_of, _depth, is_leaf = fn(data)
+    objects = np.asarray(data.node_objects, np.int32)
+    is_leaf = np.asarray(is_leaf, bool)
+    subtree = None
+    if data.node_children is not None:
+        # flattening is DFS IN-order (flatten.generate_group_indices:
+        # negative child < parent < positive child), so accumulate with
+        # an explicit post-order pass instead of an index sweep
+        ch = np.asarray(data.node_children, np.int64)
+        subtree = np.where(is_leaf, objects[:, 1].astype(np.int64), -1)
+        stack = [int(data.tree_root)]
+        while stack:
+            i = stack.pop()
+            if subtree[i] >= 0:
+                continue
+            a, b = int(ch[i, 0]), int(ch[i, 1])
+            if subtree[a] >= 0 and subtree[b] >= 0:
+                subtree[i] = subtree[a] + subtree[b]
+            else:
+                stack.extend((i, a, b))
     return WideTreeHost(
         children=wide_children,
         wid_of=wid_of,
-        is_leaf=np.asarray(is_leaf, bool),
+        is_leaf=is_leaf,
         boxes=np.asarray(data.node_boxes, np.float32),
-        objects=np.asarray(data.node_objects, np.int32),
+        objects=objects,
+        subtree_tris=subtree,
     )
 
 
@@ -100,6 +121,7 @@ def simulate_packet_walk(
     pops: int = 4,
     max_leaf_tests: int | None = None,
     stats: WalkStats | None = None,
+    leaf_order: str = "near",
 ):
     """Walk one packet (R rays) through the wide tree.
 
@@ -108,6 +130,12 @@ def simulate_packet_walk(
     exactly the kernel's retired-lane behavior).  ``any_hit`` retires
     lanes on first accepted hit and stops when none remain (the
     occlusion walk, kernel_mega shadow phases).
+
+    ``leaf_order`` is an EXPERIMENT knob for any-hit walks: "near"
+    (production: near-to-far, same as closest-hit), "count" (descending
+    slot count — visit the densest candidate first, maximizing the
+    chance of early lane retirement).  Ignored for closest-hit walks,
+    where near-to-far is required for t pruning.
     """
     R = P.shape[0]
     act = np.ones(R, bool) if active is None else active.copy()
@@ -135,6 +163,7 @@ def simulate_packet_walk(
         return _walk_loop(
             data, wt, stack, act, P, D, invD, mean_D, tri, pops,
             max_leaf_tests, any_hit, st, best_t, which, u_out, v_out, hit,
+            leaf_order,
         )
     finally:
         err.__exit__(None, None, None)
@@ -143,6 +172,7 @@ def simulate_packet_walk(
 def _walk_loop(
     data, wt, stack, act, P, D, invD, mean_D, tri, pops,
     max_leaf_tests, any_hit, st, best_t, which, u_out, v_out, hit,
+    leaf_order="near",
 ):
     while stack and act.any():
         group = [stack.pop() for _ in range(min(pops, len(stack)))]
@@ -171,10 +201,20 @@ def _walk_loop(
             int(order[i]) for i in range(len(kids))
             if child_hit[order[i]] and wt.is_leaf[kids[order[i]]]
         ]
+        if any_hit and leaf_order == "count":
+            leaves_near_to_far.sort(
+                key=lambda ci: -int(wt.objects[kids[ci]][1])
+            )
         internal_far_to_near = [
             int(order[i]) for i in range(len(kids) - 1, -1, -1)
             if child_hit[order[i]] and not wt.is_leaf[kids[order[i]]]
         ]
+        if any_hit and leaf_order == "count" and wt.subtree_tris is not None:
+            # push sparsest first so the densest subtree pops next —
+            # maximize early lane retirement for occlusion walks
+            internal_far_to_near.sort(
+                key=lambda ci: int(wt.subtree_tris[kids[ci]])
+            )
 
         for ci in leaves_near_to_far:
             start, count = (int(x) for x in wt.objects[kids[ci]])
@@ -293,6 +333,7 @@ def simulate_frame(
     pops: int = 4,
     tile_stride: int = 1,
     config: Config | None = None,
+    anyhit_leaf_order: str = "near",
 ) -> FrameSimResult:
     """Simulate the fused megakernel's six phases over the frame's
     packets and return per-phase walk statistics.
@@ -367,6 +408,7 @@ def simulate_frame(
                 simulate_packet_walk(
                     data, wt, sP, sD, active=s_act, any_hit=True, pops=pops,
                     max_leaf_tests=cfg.max_leaf_tests, stats=st_s,
+                    leaf_order=anyhit_leaf_order,
                 )
                 ph_s.packets += 1
                 ph_s.steps += st_s.steps
