@@ -67,6 +67,7 @@ def build_scene_data(tris: int | None = None):
         f"bench-bunny-class-{tris // 1000}k"
         f"-l{cfg.bvh_leaf_max}-d{cfg.bvh_max_depth}"
         + (f"-{cfg.splits}" if cfg.splits != "object" else "")
+        + (f"-opt{cfg.bvh_opt}" if cfg.bvh_opt else "")
     )
     data = cached_scene_data(key, builder, verbose=True)
     return data, procedural_sky(2048), key
@@ -362,6 +363,7 @@ def bench_occluded(statics, fov) -> dict:
         f"bench-terrain-{tris // 1000}k"
         f"-l{cfg.bvh_leaf_max}-d{cfg.bvh_max_depth}"
         + (f"-{cfg.splits}" if cfg.splits != "object" else "")
+        + (f"-opt{cfg.bvh_opt}" if cfg.bvh_opt else "")
     )
     data = cached_scene_data(key, builder, verbose=True)
     renderer = Renderer(data, procedural_sky(2048))

@@ -36,7 +36,10 @@ def main() -> None:
     ap.add_argument("--tris", type=int, default=69000)
     ap.add_argument("--stride", type=int, default=8,
                     help="simulate every k-th 4096-ray packet")
-    ap.add_argument("--splits", default="object,sbvh")
+    ap.add_argument("--splits", "--variants", dest="splits",
+                    default="object,sbvh",
+                    help="comma list of variants: SPLITS[+BVH_OPT], e.g. "
+                         "'object,object+reinsert,sbvh+reinsert'")
     ap.add_argument("--tile", type=int, default=4096)
     args = ap.parse_args()
 
@@ -65,13 +68,15 @@ def main() -> None:
     for scene in args.scenes.split(","):
         gen, stem, extent, light = scene_specs[scene.strip()]
         results = {}
-        for splits in args.splits.split(","):
-            splits = splits.strip()
-            cfg = dataclasses.replace(get_config(), splits=splits)
+        for variant in args.splits.split(","):
+            variant = variant.strip()
+            splits, _, opt = variant.partition("+")
+            cfg = dataclasses.replace(get_config(), splits=splits, bvh_opt=opt)
             key = (
                 f"{stem}-{args.tris // 1000}k"
                 f"-l{cfg.bvh_leaf_max}-d{cfg.bvh_max_depth}"
                 + (f"-{splits}" if splits != "object" else "")
+                + (f"-opt{opt}" if opt else "")
             )
 
             def builder():
@@ -97,16 +102,16 @@ def main() -> None:
             )
             res.print()
             print(f"  ({time.time() - t0:.1f}s simulated)", file=sys.stderr)
-            results[splits] = res
+            results[variant] = res
         base = args.splits.split(",")[0].strip()
-        for splits, res in results.items():
+        for variant, res in results.items():
             line = {
                 "scene": scene,
-                "splits": splits,
+                "splits": variant,
                 "steps_per_pkt": round(res.total_steps_per_pkt, 1),
                 "leafs_per_pkt": round(res.total_leafs_per_pkt, 1),
             }
-            if splits != base and base in results:
+            if variant != base and base in results:
                 b = results[base]
                 line["steps_vs_" + base] = round(
                     res.total_steps_per_pkt / max(b.total_steps_per_pkt, 1e-9), 3

@@ -77,6 +77,12 @@ class Config:
                                      # native libscene) | "sbvh" spatial
                                      # splits (Stich 2009; duplicated
                                      # clipped refs, models/sbvh.py)
+    bvh_opt: str = ""                # post-build topology optimizer:
+                                     # "" none (reference-exact tree) |
+                                     # "reinsert" Bittner-2013 insertion
+                                     # optimization (models/optimize.py);
+                                     # leaf contents unchanged, internal
+                                     # topology re-arranged for lower SAH
     env_res: int = 256               # mode-0 env sampling height (W = 2H);
                                      # dense-MXU cost scales with H*W
     env_mip_res: int = 512           # mode-1 (textureGrad) atlas base height
@@ -138,6 +144,7 @@ class Config:
         "leaf_isect": ("mt", "woop"),
         "collapse": ("sah", "greedy"),
         "splits": ("object", "sbvh"),
+        "bvh_opt": ("", "reinsert"),
         "use_native": ("auto", "never", "require"),
     }
 
@@ -203,6 +210,7 @@ class Config:
         c.leaf_isect = os.environ.get("SRT_ISECT", c.leaf_isect)
         c.collapse = os.environ.get("SRT_COLLAPSE", c.collapse)
         c.splits = os.environ.get("SRT_SPLITS", c.splits)
+        c.bvh_opt = os.environ.get("SRT_BVH_OPT", c.bvh_opt)
         c.env_res = _env_int("SRT_ENV_RES", c.env_res)
         c.env_mip_res = _env_int("SRT_ENV_MIP_RES", c.env_mip_res)
         c.env_aniso = _env_int("SRT_ENV_ANISO", c.env_aniso)

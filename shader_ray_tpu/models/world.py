@@ -171,6 +171,10 @@ def make_world(
         )
         if verbose:
             print(f"SBVH: {time.monotonic() - then:f} seconds", file=sys.stderr)
+        if cfg.bvh_opt == "reinsert":
+            from shader_ray_tpu.models.optimize import optimize_bvh
+
+            bvh = optimize_bvh(bvh, cfg, verbose=verbose)
         return World(
             triangles=triangles,
             bvh=bvh,
@@ -178,7 +182,10 @@ def make_world(
             scene_extent=scene_extent,
             triangle_count=tcount,
         )
-    if cfg.use_native != "never":
+    # the reinsertion optimizer needs the BVHNode list; the native
+    # builder flattens during build, so force the (bit-compatible)
+    # Python builder when it's on
+    if cfg.use_native != "never" and cfg.bvh_opt != "reinsert":
         from shader_ray_tpu import native
 
         if native.available():
@@ -208,6 +215,10 @@ def make_world(
         if verbose:
             print(f"BVH: {time.monotonic() - then:f} seconds", file=sys.stderr)
             bvh.stats.print()
+        if cfg.bvh_opt == "reinsert":
+            from shader_ray_tpu.models.optimize import optimize_bvh
+
+            bvh = optimize_bvh(bvh, cfg, verbose=verbose)
 
     return World(
         triangles=triangles,
@@ -280,6 +291,7 @@ def scene_fingerprint(filename: str, config: Config | None = None) -> str:
     key = (
         f"{cfg.bvh_leaf_max}|{cfg.bvh_max_depth}|{cfg.sah_ctrav}|{cfg.sah_cisec}"
         f"|{cfg.colors_are_linear}|{cfg.geometry_scale}|{cfg.splits}|v1"
+        + (f"|opt={cfg.bvh_opt}" if cfg.bvh_opt else "")
     )
     h.update(key.encode())
     return h.hexdigest()[:24]
