@@ -255,7 +255,8 @@ class App:
     _PACK_TIME_KNOBS = frozenset({
         "bvh_leaf_max", "bvh_max_depth", "sah_ctrav", "sah_cisec",
         "colors_are_linear", "geometry_scale", "screen_gamma",
-        "collapse", "splits", "leaf_isect", "env_res", "env_mip_res", "node_src",
+        "collapse", "splits", "bvh_opt", "leaf_isect", "env_res",
+        "env_mip_res", "node_src",
         "engine", "packet_kernel", "use_native", "scene_cache",
     })
 

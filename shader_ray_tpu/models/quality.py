@@ -122,6 +122,8 @@ def simulate_packet_walk(
     max_leaf_tests: int | None = None,
     stats: WalkStats | None = None,
     leaf_order: str = "near",
+    seed_leaf: tuple[int, int] | None = None,
+    seed_out: dict | None = None,
 ):
     """Walk one packet (R rays) through the wide tree.
 
@@ -136,6 +138,13 @@ def simulate_packet_walk(
     slot count — visit the densest candidate first, maximizing the
     chance of early lane retirement).  Ignored for closest-hit walks,
     where near-to-far is required for t pruning.
+
+    ``seed_leaf`` (EXPERIMENT, any-hit only) is a (start, count) leaf
+    range tested BEFORE the walk — e.g. the previous packet's best
+    occluder; lanes it retires shrink the walk union from step 0.
+    When ``seed_out`` is a dict, the walk records the leaf that
+    retired the most lanes under key "best" (None if no leaf retired
+    anything) — feed it to the next packet's ``seed_leaf``.
     """
     R = P.shape[0]
     act = np.ones(R, bool) if active is None else active.copy()
@@ -163,7 +172,7 @@ def simulate_packet_walk(
         return _walk_loop(
             data, wt, stack, act, P, D, invD, mean_D, tri, pops,
             max_leaf_tests, any_hit, st, best_t, which, u_out, v_out, hit,
-            leaf_order,
+            leaf_order, seed_leaf, seed_out,
         )
     finally:
         err.__exit__(None, None, None)
@@ -172,8 +181,67 @@ def simulate_packet_walk(
 def _walk_loop(
     data, wt, stack, act, P, D, invD, mean_D, tri, pops,
     max_leaf_tests, any_hit, st, best_t, which, u_out, v_out, hit,
-    leaf_order="near",
+    leaf_order="near", seed_leaf=None, seed_out=None,
 ):
+    lanes = np.arange(P.shape[0])
+    best_seed = (None, 0)  # ((start, count), lanes retired)
+
+    def test_leaf(start, count):
+        """One leaf visit over all lanes; returns lanes newly retired
+        (any-hit only).  Mutates the enclosing best/hit/act state."""
+        nonlocal best_t, which, u_out, v_out, hit, act, best_seed
+        if max_leaf_tests is not None:
+            count = min(count, max_leaf_tests)
+        st.leaf_visits += 1
+        st.leaf_slot_tests += count
+        # all slots at once, (S, R): min-d accept == the kernel's
+        # in-order slot scan (d <= best_t accepts), up to exact-tie
+        # which-index choice
+        trows = tri[start : start + count]
+        v0 = trows[:, None, 0:3]
+        e0 = trows[:, None, 3:6] - v0
+        e1 = v0 - trows[:, None, 6:9]
+        M = np.cross(e1, D[None])
+        det = (e0 * M).sum(-1)
+        ok = np.abs(det) >= MT_EPS
+        inv_det = np.float32(1.0) / np.where(ok, det, 1.0)
+        T = P[None] - v0
+        Q = np.cross(T, e0)
+        d = -(e1 * Q).sum(-1) * inv_det
+        ok &= (d <= best_t[None]) & (d >= 0.0) & act[None]
+        uu = (T * M).sum(-1) * inv_det
+        ok &= (uu >= 0.0) & (uu <= 1.0)
+        vv = (D[None] * Q).sum(-1) * inv_det
+        ok &= (vv >= 0.0) & (uu + vv <= 1.0)
+        d_ok = np.where(ok, d, BIG_T * 2.0)
+        s_best = d_ok.argmin(axis=0)
+        lane_ok = ok[s_best, lanes]
+        best_t = np.where(
+            lane_ok, d[s_best, lanes].astype(np.float32), best_t
+        )
+        which = np.where(
+            lane_ok, (start + s_best).astype(np.int32), which
+        )
+        u_out = np.where(
+            lane_ok, uu[s_best, lanes].astype(np.float32), u_out
+        )
+        v_out = np.where(
+            lane_ok, vv[s_best, lanes].astype(np.float32), v_out
+        )
+        hit |= lane_ok
+        if any_hit:
+            retired = int((act & hit).sum())
+            act &= ~hit
+            if retired > best_seed[1]:
+                best_seed = ((start, count), retired)
+            return retired
+        return 0
+
+    if any_hit and seed_leaf is not None and act.any():
+        test_leaf(int(seed_leaf[0]), int(seed_leaf[1]))
+        if seed_out is not None:
+            seed_out["seed_retired"] = best_seed[1]
+
     while stack and act.any():
         group = [stack.pop() for _ in range(min(pops, len(stack)))]
         st.steps += 1
@@ -218,52 +286,15 @@ def _walk_loop(
 
         for ci in leaves_near_to_far:
             start, count = (int(x) for x in wt.objects[kids[ci]])
-            if max_leaf_tests is not None:
-                count = min(count, max_leaf_tests)
-            st.leaf_visits += 1
-            st.leaf_slot_tests += count
-            # all slots at once, (S, R): min-d accept == the kernel's
-            # in-order slot scan (d <= best_t accepts), up to exact-tie
-            # which-index choice
-            trows = tri[start : start + count]
-            v0 = trows[:, None, 0:3]
-            e0 = trows[:, None, 3:6] - v0
-            e1 = v0 - trows[:, None, 6:9]
-            M = np.cross(e1, D[None])
-            det = (e0 * M).sum(-1)
-            ok = np.abs(det) >= MT_EPS
-            inv_det = np.float32(1.0) / np.where(ok, det, 1.0)
-            T = P[None] - v0
-            Q = np.cross(T, e0)
-            d = -(e1 * Q).sum(-1) * inv_det
-            ok &= (d <= best_t[None]) & (d >= 0.0) & act[None]
-            uu = (T * M).sum(-1) * inv_det
-            ok &= (uu >= 0.0) & (uu <= 1.0)
-            vv = (D[None] * Q).sum(-1) * inv_det
-            ok &= (vv >= 0.0) & (uu + vv <= 1.0)
-            d_ok = np.where(ok, d, BIG_T * 2.0)
-            s_best = d_ok.argmin(axis=0)
-            lanes = np.arange(P.shape[0])
-            lane_ok = ok[s_best, lanes]
-            best_t = np.where(
-                lane_ok, d[s_best, lanes].astype(np.float32), best_t
-            )
-            which = np.where(
-                lane_ok, (start + s_best).astype(np.int32), which
-            )
-            u_out = np.where(
-                lane_ok, uu[s_best, lanes].astype(np.float32), u_out
-            )
-            v_out = np.where(
-                lane_ok, vv[s_best, lanes].astype(np.float32), v_out
-            )
-            hit |= lane_ok
-            if any_hit:
-                act &= ~hit
-                if not act.any():
-                    return best_t, which, u_out, v_out, hit
+            test_leaf(start, count)
+            if any_hit and not act.any():
+                break
+        if any_hit and not act.any():
+            break
         for ci in internal_far_to_near:
             stack.append(wt.wid_of[kids[ci]])
+    if seed_out is not None:
+        seed_out["best"] = best_seed[0]
     return best_t, which, u_out, v_out, hit
 
 
@@ -334,6 +365,7 @@ def simulate_frame(
     tile_stride: int = 1,
     config: Config | None = None,
     anyhit_leaf_order: str = "near",
+    anyhit_seed: bool = False,
 ) -> FrameSimResult:
     """Simulate the fused megakernel's six phases over the frame's
     packets and return per-phase walk statistics.
@@ -363,6 +395,10 @@ def simulate_frame(
         phases.append(PhaseStats(f"bounce{b}"))
         if cast_shadows:
             phases.append(PhaseStats(f"shadow{b}"))
+    # anyhit_seed EXPERIMENT: carry each shadow phase's best occluder
+    # leaf to the next packet (the kernel analog is an SMEM scratch
+    # scalar persisting across grid steps)
+    prev_best: dict[int, tuple[int, int] | None] = {}
 
     for ti in range(0, n_tiles, tile_stride):
         sl = slice(ti * tile, min((ti + 1) * tile, n_rays))
@@ -405,11 +441,16 @@ def simulate_frame(
                 st_s = WalkStats()
                 sP = hit_P + n * 1e-4
                 sD = np.broadcast_to(light, sP.shape).astype(np.float32).copy()
+                seed_out: dict | None = {} if anyhit_seed else None
                 simulate_packet_walk(
                     data, wt, sP, sD, active=s_act, any_hit=True, pops=pops,
                     max_leaf_tests=cfg.max_leaf_tests, stats=st_s,
                     leaf_order=anyhit_leaf_order,
+                    seed_leaf=prev_best.get(b) if anyhit_seed else None,
+                    seed_out=seed_out,
                 )
+                if anyhit_seed and seed_out.get("best") is not None:
+                    prev_best[b] = seed_out["best"]
                 ph_s.packets += 1
                 ph_s.steps += st_s.steps
                 ph_s.leafs += st_s.leaf_visits
