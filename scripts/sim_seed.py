@@ -68,7 +68,7 @@ def main() -> None:
     cam = mat4.make_translation(0.0, 0.0, zoom).astype(np.float32)
 
     results = {}
-    for seed in (False, True):
+    for seed in ("", "best", "last"):
         t0 = time.time()
         res = simulate_frame(
             data, cam_matrix=cam, tile=args.tile,
@@ -77,7 +77,7 @@ def main() -> None:
         )
         sh = [p for p in res.phases if p.name.startswith("shadow")]
         line = {
-            "variant": "seed" if seed else "base",
+            "variant": f"seed-{seed}" if seed else "base",
             "scene": args.scene,
             "shadow_steps_per_pkt": round(sum(p.steps_per_pkt for p in sh), 1),
             "shadow_leafs_per_pkt": round(sum(p.leafs_per_pkt for p in sh), 1),

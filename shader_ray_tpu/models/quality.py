@@ -185,6 +185,7 @@ def _walk_loop(
 ):
     lanes = np.arange(P.shape[0])
     best_seed = (None, 0)  # ((start, count), lanes retired)
+    last_seed = None       # last leaf that retired any lane
 
     def test_leaf(start, count):
         """One leaf visit over all lanes; returns lanes newly retired
@@ -192,6 +193,8 @@ def _walk_loop(
         nonlocal best_t, which, u_out, v_out, hit, act, best_seed
         if max_leaf_tests is not None:
             count = min(count, max_leaf_tests)
+        if count <= 0:
+            return 0
         st.leaf_visits += 1
         st.leaf_slot_tests += count
         # all slots at once, (S, R): min-d accept == the kernel's
@@ -230,10 +233,13 @@ def _walk_loop(
         )
         hit |= lane_ok
         if any_hit:
+            nonlocal last_seed
             retired = int((act & hit).sum())
             act &= ~hit
             if retired > best_seed[1]:
                 best_seed = ((start, count), retired)
+            if retired > 0:
+                last_seed = (start, count)
             return retired
         return 0
 
@@ -295,6 +301,7 @@ def _walk_loop(
             stack.append(wt.wid_of[kids[ci]])
     if seed_out is not None:
         seed_out["best"] = best_seed[0]
+        seed_out["last"] = last_seed
     return best_t, which, u_out, v_out, hit
 
 
@@ -365,7 +372,7 @@ def simulate_frame(
     tile_stride: int = 1,
     config: Config | None = None,
     anyhit_leaf_order: str = "near",
-    anyhit_seed: bool = False,
+    anyhit_seed: str = "",
 ) -> FrameSimResult:
     """Simulate the fused megakernel's six phases over the frame's
     packets and return per-phase walk statistics.
@@ -449,8 +456,11 @@ def simulate_frame(
                     seed_leaf=prev_best.get(b) if anyhit_seed else None,
                     seed_out=seed_out,
                 )
-                if anyhit_seed and seed_out.get("best") is not None:
-                    prev_best[b] = seed_out["best"]
+                if anyhit_seed and seed_out.get(anyhit_seed) is not None:
+                    # policy "best" = most-retiring leaf (kernel: one
+                    # any-reduce per leaf visit); "last" = last leaf
+                    # that retired anything (kernel: free pl.when store)
+                    prev_best[b] = seed_out[anyhit_seed]
                 ph_s.packets += 1
                 ph_s.steps += st_s.steps
                 ph_s.leafs += st_s.leaf_visits

@@ -118,3 +118,27 @@ def test_frame_phases_and_sbvh_comparable():
     assert b0_o.steps > 0 and b0_s.steps > 0
     ratio = b0_s.leafs_per_pkt / b0_o.leafs_per_pkt
     assert 0.2 < ratio < 5.0
+
+
+def test_any_hit_seed_preserves_results():
+    """Seeding an any-hit walk with ANY leaf must not change the hit
+    set (occlusion is order-independent), and the walk must report a
+    retiring leaf that, fed back as the seed, still matches."""
+    data, cfg = _sphere_data()
+    wt = build_wide_tree(data, cfg)
+    P, D = _bench_rays()
+    out: dict = {}
+    _, _, _, _, hit0 = simulate_packet_walk(
+        data, wt, P, D, any_hit=True, seed_out=out
+    )
+    assert out["best"] is not None and out["last"] is not None
+    for key in ("best", "last"):
+        _, _, _, _, hit_s = simulate_packet_walk(
+            data, wt, P, D, any_hit=True, seed_leaf=out[key]
+        )
+        assert (hit_s == hit0).all()
+    # a bogus seed (empty-range leaf) is harmless too
+    _, _, _, _, hit_b = simulate_packet_walk(
+        data, wt, P, D, any_hit=True, seed_leaf=(0, 0)
+    )
+    assert (hit_b == hit0).all()
