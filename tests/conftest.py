@@ -26,6 +26,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the full (slow, compile-heavy) test lane too",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: slow compile-heavy tests; default lane skips them "
+        "(opt in with --full or SRT_FULL_TESTS=1)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full") or os.environ.get("SRT_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(reason="full lane only (--full / SRT_FULL_TESTS=1)")
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
