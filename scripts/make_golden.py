@@ -38,7 +38,9 @@ def render(which: int) -> np.ndarray:
 
     data, env, _ = build_scene_data()
     renderer = Renderer(data, env)
-    statics = RenderStatics(
+    # from_config: production sampler knobs (env_aniso) flow in, same
+    # as bench.py — harmless at which 0/5 but keeps the configs aligned
+    statics = RenderStatics.from_config(
         width=1024, height=768, tile_size=65536, which=which
     )
     fov = np.deg2rad(40.0)
@@ -65,13 +67,18 @@ def main() -> None:
         if verify:
             ref = np.load(path)
             err = np.abs(img - ref)
+            off_share = float((err.max(axis=-1) > 0.02).mean())
             line = (
                 f"{name}: mean err {err.mean():.5f}, max {err.max():.4f}, "
-                f">2% pixels {(err.max(axis=-1) > 0.02 * 255).mean():.4%}"
+                f"off pixels (>0.02) {off_share:.4%}"
             )
             print(line)
-            # tonemapped u8-scale frames: tolerate sub-1% drift
-            if err.mean() > 2.5:
+            # goldens are 0-1 tonemapped floats (meta mean ~0.685), so
+            # the gate uses 0-1-scale tolerances matching
+            # tests/test_golden.py (measured on-chip drift: mean err
+            # 2.2e-4, 99.97% of pixels within 0.02) — the old u8-scale
+            # thresholds (err.mean() > 2.5) could never trigger
+            if err.mean() > 0.005 or off_share > 0.01:
                 print(f"FAIL: {name} drifted beyond tolerance")
                 ok = False
         else:

@@ -147,8 +147,10 @@ def repl(app, out_path: str, stream, view: bool = False) -> None:
         elif cmd == "set":
             if len(parts) == 3:
                 app.set_knob(parts[1], parts[2], file=sys.stderr)
+            elif len(parts) == 2:  # value missing: say so, don't list
+                print(f"usage: set {parts[1].upper()} VALUE", file=sys.stderr)
             else:
-                app.set_knob("", "", file=sys.stderr)  # lists knobs
+                app.set_knob("", "", file=sys.stderr)  # bare set: list knobs
             continue
         elif cmd == "prog":
             n = int(parts[1]) if len(parts) > 1 else 4

@@ -83,6 +83,13 @@ class Config:
                                      # optimization (models/optimize.py);
                                      # leaf contents unchanged, internal
                                      # topology re-arranged for lower SAH
+    env_mode: str = "window"         # packet-engine env sampler: "window"
+                                     # per-tile footprint windows over the
+                                     # full-res plane pyramid (envwin.py) |
+                                     # "dense" MXU one-hot over a
+                                     # downsampled table (envmxu.py)
+    env_base: int = 1024             # windowed-sampler pyramid base height
+                                     # (level-0 rows; W = 2H)
     env_res: int = 256               # mode-0 env sampling height (W = 2H);
                                      # dense-MXU cost scales with H*W
     env_mip_res: int = 512           # mode-1 (textureGrad) atlas base height
@@ -143,6 +150,7 @@ class Config:
         "leaf_scan": ("", "ctz", "queue"),
         "leaf_isect": ("mt", "woop"),
         "collapse": ("sah", "greedy"),
+        "env_mode": ("window", "dense"),
         "splits": ("object", "sbvh"),
         "bvh_opt": ("", "reinsert"),
         "use_native": ("auto", "never", "require"),
@@ -171,6 +179,11 @@ class Config:
         if self.jitter_pack < 1:
             raise ValueError(
                 f"jitter_pack={self.jitter_pack} invalid: need >= 1"
+            )
+        if self.env_base < 16 or self.env_base & (self.env_base - 1):
+            raise ValueError(
+                f"env_base={self.env_base} invalid: the plane pyramid "
+                "needs a power-of-two base height >= 16"
             )
         c = self.ray_tile // 8
         if self.ray_tile % 1024 or c & (c - 1):
@@ -211,6 +224,8 @@ class Config:
         c.collapse = os.environ.get("SRT_COLLAPSE", c.collapse)
         c.splits = os.environ.get("SRT_SPLITS", c.splits)
         c.bvh_opt = os.environ.get("SRT_BVH_OPT", c.bvh_opt)
+        c.env_mode = os.environ.get("SRT_ENV_MODE", c.env_mode)
+        c.env_base = _env_int("SRT_ENV_BASE", c.env_base)
         c.env_res = _env_int("SRT_ENV_RES", c.env_res)
         c.env_mip_res = _env_int("SRT_ENV_MIP_RES", c.env_mip_res)
         c.env_aniso = _env_int("SRT_ENV_ANISO", c.env_aniso)

@@ -82,6 +82,8 @@ class Renderer:
                     node_src=cfg.node_src or None,
                     collapse=cfg.collapse,
                     isect=cfg.leaf_isect,
+                    env_mode=cfg.env_mode,
+                    env_base=cfg.env_base,
                     **pack_kwargs,
                 )
             else:

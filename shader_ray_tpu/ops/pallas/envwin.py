@@ -12,8 +12,8 @@ small window of the env map.  Per tile:
 
   1. reduce the packet's (u, v) spans (checking both seam phases);
   2. pick the finest mip level whose footprint fits a fixed
-     (32 row, 256 lane) window — for bench-style tiles (~2.3 degrees)
-     that is LEVEL 0: exact full-resolution bilinear;
+     (WIN_ROWS=64 row, WIN_LANES=256 lane) window — for bench-style
+     tiles (~2.3 degrees) that is LEVEL 0: exact full-res bilinear;
   3. DMA the 3 channel-plane windows HBM -> VMEM scratch;
   4. contract x on the MXU: T1_c = Win_c (32, 256) @ wx (256, C),
      where wx is the per-ray bilinear column TENT weights
@@ -124,8 +124,9 @@ def pack_env_planes(env: np.ndarray, base: tuple[int, int] = (1024, 2048)):
         rows += 6 * blk(lv.shape[0])  # 3 channels x 2 phases
 
     # tail padding: a window DMA near the last (coarsest) plane may
-    # read up to WIN_ROWS rows past its 18-row block — keep it in
-    # bounds (the tent weights zero those rows out)
+    # read up to WIN_ROWS=64 rows past its final 8-aligned
+    # (MIN_H+2 -> 24-row) block — keep it in bounds (the tent weights
+    # zero those rows out)
     planes = np.zeros((rows + WIN_ROWS, plane_w), np.float32)
     for lv, off in zip(levels, offs):
         h, w = lv.shape[:2]

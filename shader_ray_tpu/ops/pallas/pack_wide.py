@@ -338,16 +338,20 @@ def pack_scene_wide(
 
     ``collapse``: "sah" (default) = SAH-aware DP collapse; "greedy" =
     the round-2 largest-area frontier cut (A/B baseline)."""
-    import os
+    # fallbacks route through the VALIDATED Config (which itself parses
+    # SRT_COLLAPSE/SRT_ISECT/SRT_ENV_MODE/SRT_ENV_BASE from env), not
+    # raw os.environ — so custom-config Renderers and use_config scopes
+    # see one source of truth (ADVICE r2)
+    if None in (collapse, isect, env_mode, env_base):
+        from shader_ray_tpu.config import get_config
 
-    if collapse is None:
-        collapse = os.environ.get("SRT_COLLAPSE", "sah")
+        cfg = get_config()
+        collapse = collapse if collapse is not None else cfg.collapse
+        isect = isect if isect is not None else cfg.leaf_isect
+        env_mode = env_mode if env_mode is not None else cfg.env_mode
+        env_base = env_base if env_base is not None else cfg.env_base
     assert collapse in ("sah", "greedy"), collapse
-    if isect is None:
-        isect = os.environ.get("SRT_ISECT", "woop")
     assert isect in ("mt", "woop"), isect
-    if env_mode is None:
-        env_mode = os.environ.get("SRT_ENV_MODE", "window")
     assert env_mode in ("window", "dense"), env_mode
     leaves, tribase, leaf_row_of, counts, L = pack_leaf_groups(
         data, max_leaf_tests, isect=isect
@@ -446,8 +450,6 @@ def pack_scene_wide(
     if env_mode == "window":
         from shader_ray_tpu.ops.pallas.envwin import MIN_H, pack_env_planes
 
-        if env_base is None:
-            env_base = int(os.environ.get("SRT_ENV_BASE", "1024"))
         # full parity never needs more rows than the source has: cap
         # the plane base at the source height (rounded up to pow2) so
         # tiny test envs stay tiny

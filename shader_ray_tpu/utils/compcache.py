@@ -15,6 +15,55 @@ import os
 _enabled = False
 
 
+def host_cache_key() -> str:
+    """Fingerprint of (arch, CPU feature flags, jax version).
+
+    XLA's persistent-cache key does NOT cover host CPU features: CPU
+    AOT results compiled on one machine load on another with only an
+    error log ("could lead to execution errors such as SIGILL") — seen
+    live when a cache built on a previous round's host was read by
+    this one.  Keying the directory by host makes a foreign cache
+    simply invisible (cold start) instead of a latent crash."""
+    import hashlib
+    import platform
+
+    import jax
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    blob = f"{platform.machine()}|{flags}|{jax.__version__}"
+    return hashlib.sha256(blob.encode()).hexdigest()[:10]
+
+
+def cache_subdir() -> str:
+    """Cache directory name for the CURRENT backend.
+
+    CPU programs are host-compiled AOT artifacts → host-keyed subdir
+    (see host_cache_key).  TPU programs are device executables that do
+    not depend on host CPU features → the shared legacy ``xla`` dir,
+    which deliberately preserves the warm on-chip cache built by
+    earlier rounds (a cold TPU cache costs 7-260 s per program on the
+    axon remote compiler — enough to eat a driver bench timeout).
+    Querying the backend here may initialize it; every caller either
+    already has one or is about to compile on it anyway."""
+    import jax
+
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend == "cpu":
+        return f"xla-cpu-{host_cache_key()}"
+    return "xla"
+
+
 def enable_compilation_cache(path: str | None = None) -> str:
     """Idempotently point jax at an on-disk compilation cache."""
     global _enabled
@@ -24,7 +73,7 @@ def enable_compilation_cache(path: str | None = None) -> str:
         os.path.expanduser(
             os.environ.get("SRT_CACHE_DIR", "~/.cache/shader_ray_tpu")
         ),
-        "xla",
+        cache_subdir(),
     )
     if _enabled:
         return path

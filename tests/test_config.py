@@ -62,3 +62,42 @@ def test_validate_direct_mutation():
         c.validate()
     c.prog_tile = 512                  # sub-1024 pow2 multiple: valid
     c.validate()
+
+
+def test_env_mode_env_base_flow_through_config(monkeypatch):
+    """ADVICE r2: env_mode/env_base are Config fields (SRT_ENV_MODE /
+    SRT_ENV_BASE parsed in from_env, validated), and a custom-config
+    Renderer selects the dense env path WITHOUT mutating process env."""
+    monkeypatch.setenv("SRT_ENV_MODE", "dense")
+    monkeypatch.setenv("SRT_ENV_BASE", "512")
+    c = Config.from_env()
+    assert c.env_mode == "dense" and c.env_base == 512
+    monkeypatch.setenv("SRT_ENV_MODE", "bogus")
+    with pytest.raises(ValueError, match="env_mode"):
+        Config.from_env()
+    monkeypatch.delenv("SRT_ENV_MODE")
+    monkeypatch.setenv("SRT_ENV_BASE", "1000")  # not a power of two
+    with pytest.raises(ValueError, match="env_base"):
+        Config.from_env()
+    monkeypatch.delenv("SRT_ENV_BASE")
+
+    # a custom-config Renderer (no env mutation) packs the dense path:
+    # window mode ships an env plane pyramid, dense mode does not
+    import numpy as np
+
+    from shader_ray_tpu.engine import Renderer
+    from shader_ray_tpu.models.fixtures import procedural_sky, uv_sphere
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import get_shader_data, make_world
+
+    pos, _ = uv_sphere(lat=4, lon=6)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    env = procedural_sky(16)
+    cfg = Config()
+    cfg.env_mode = "dense"
+    r = Renderer(data, env, config=cfg, engine="packet")
+    assert r.packed.env_planes is None
+    cfg2 = Config()
+    cfg2.env_mode = "window"
+    r2 = Renderer(data, env, config=cfg2, engine="packet")
+    assert r2.packed.env_planes is not None

@@ -144,3 +144,68 @@ def test_webview_seeds_from_existing_frame():
         assert not viewer.step()       # still clean afterwards
     finally:
         viewer.stop()
+
+
+def test_webview_run_loop_end_to_end():
+    """VERDICT r2 #7: drive the REAL serving loop purely over HTTP —
+    ``run()`` (the blocking damage-driven loop ``--serve`` uses,
+    reference ray.cpp:1132-1142) renders on its owning thread while
+    this test acts as the browser: poll /state, send a drag, wait for
+    the serial to advance, and check the frame bytes actually changed."""
+    import threading
+    import time
+
+    from shader_ray_tpu.app.webview import WebViewer
+
+    app = _tiny_app()
+    viewer = WebViewer(app, port=0)
+    url = viewer.start()
+    runner = threading.Thread(target=viewer.run, kwargs={"poll": 0.01})
+    runner.start()
+    try:
+        # the loop produces the initial frame without any input
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st = json.loads(_get(url + "state"))
+            if st["serial"] >= 1:
+                break
+            time.sleep(0.05)
+        assert st["serial"] >= 1, "run() never produced the first frame"
+        png0 = _get(url + "frame.png")
+        assert decode_png(png0).shape == (32, 48, 3)
+
+        # browser-shaped drag: press, two motions (the first-ever motion
+        # is swallowed per the reference's first-motion glitch
+        # workaround, ray.cpp:878-889), release.  A LARGE sweep — the
+        # run loop may render mid-drag, and a few-pixel drag of a
+        # sphere can quantize to the identical 8-bit frame.
+        _post(url + "event",
+              {"type": "button", "pressed": True, "x": 4, "y": 16})
+        _post(url + "event", {"type": "motion", "x": 8, "y": 16})
+        _post(url + "event", {"type": "motion", "x": 44, "y": 30})
+        _post(url + "event",
+              {"type": "button", "pressed": False, "x": 0, "y": 0})
+
+        # the damage loop notices, re-renders, and the served frame
+        # bytes eventually reflect the rotated object
+        base = st["serial"]
+        png1 = png0
+        while time.time() < deadline:
+            st = json.loads(_get(url + "state"))
+            if st["serial"] > base:
+                png1 = _get(url + "frame.png")
+                if png1 != png0:
+                    break
+            time.sleep(0.05)
+        assert st["serial"] > base, "drag did not trigger a redraw"
+        assert png1 != png0, "rotated frame should differ"
+
+        # quit through the key map ends run()
+        _post(url + "event", {"type": "key", "k": "q"})
+        runner.join(timeout=60)
+        assert not runner.is_alive()
+    finally:
+        app.quit = True
+        runner.join(timeout=10)
+        if runner.is_alive():  # leave no thread behind on failure
+            viewer.stop()
