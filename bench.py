@@ -40,7 +40,9 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "5"))
 # batch (the REPL's `prog N`) renders N jittered frames in ONE device
 # dispatch, amortizing the ~40 ms axon host round-trip that otherwise
 # dominates a 1024x768 frame.  BENCH_BATCH=1 times bare single frames.
-BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+# Default 32 = the round-6 measured best (19.5 ms amortized vs 21.8 at
+# 128); it also keeps the batch-scan compile short on a cold cache.
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 TARGET_MRAYS = 200.0
 
 

@@ -23,6 +23,18 @@ run() { timeout "${STEP_TIMEOUT:-7200}" "$@" >> "$OUT" 2>>r7_measure.log; echo "
 lbl baseline-fresh
 run python bench.py
 
+# tuned baseline: the greedy on-device search PERSISTS its winners per
+# (scene key, statics, device) next to the scene cache, so every later
+# bench run — including the driver's cold end-of-round one with
+# BENCH_TUNE=auto — applies them at zero cost (VERDICT r2 #2)
+lbl baseline-tuned
+BENCH_TUNE=1 run python bench.py
+
+# on-chip golden gate (now on 0-1-scale tolerances): production frame
+# and 5x5-oracle frame must still match the committed goldens
+lbl golden-verify
+run python scripts/make_golden.py --verify
+
 lbl sbvh-bunny
 SRT_SPLITS=sbvh BENCH_OCCLUDED=0 BENCH_EXTRAS=0 run python bench.py
 lbl sbvh-terrain

@@ -159,6 +159,27 @@ def load_background(spec: str) -> np.ndarray:
         return read_ppm(spec).astype(np.float32) / 255.0
     if ext == "npy":
         return np.load(spec).astype(np.float32)
+    # native LDR readers (no PIL needed): PNG/BMP/TGA, float/255
+    # WITHOUT gamma linearization like the reference's FreeImagePlus
+    # FIT_BITMAP path (ray.cpp:1056-1067).  On an unsupported variant
+    # (16-bit, interlaced, compressed BMP...) fall through to PIL.
+    native_err = None
+    try:
+        if ext == "png":
+            from shader_ray_tpu.utils.png import decode_png
+
+            with open(spec, "rb") as f:
+                return decode_png(f.read()).astype(np.float32) / 255.0
+        if ext in ("bmp", "dib"):
+            from shader_ray_tpu.models.ldr import read_bmp
+
+            return read_bmp(spec).astype(np.float32) / 255.0
+        if ext in ("tga", "icb", "vda", "vst"):
+            from shader_ray_tpu.models.ldr import read_tga
+
+            return read_tga(spec).astype(np.float32) / 255.0
+    except (ValueError, AssertionError) as e:
+        native_err = e
     try:
         from PIL import Image  # type: ignore
 
@@ -167,7 +188,9 @@ def load_background(spec: str) -> np.ndarray:
         return img
     except ImportError as e:
         raise ValueError(
-            f"Unhandled image type for {spec} (PIL unavailable; use .hdr/.ppm/.npy)"
+            f"Unhandled image type for {spec} (PIL unavailable; "
+            "use .hdr/.png/.bmp/.tga/.ppm/.npy)"
+            + (f"; native reader said: {native_err}" if native_err else "")
         ) from e
 
 
