@@ -40,7 +40,12 @@ from shader_ray_tpu.utils.cache import default_cache_dir
 DEFAULT_SPACE: list[list[dict]] = [
     # progressive pixel block x jitter packing (kernel tile = S * block
     # lanes; the packed union shrinks with the block while lane width
-    # stays full)
+    # stays full).  The round-7 on-chip tune picked 8 @ 512 on ALL
+    # three bench scenes — the then-edge of this list, decisively
+    # (bunny 14.03 ms vs 15.87 next, terrain 84 vs 126, 340k 25.3 vs
+    # 32.7) — so the deeper-packing candidates below extend the
+    # frontier: at fixed lane count, more packing + smaller pixel
+    # blocks kept winning (S*block >= 1024 is the only shape floor).
     [
         {"jitter_pack": 2, "prog_tile": 2048},
         {"jitter_pack": 1, "prog_tile": 4096},
@@ -51,6 +56,10 @@ DEFAULT_SPACE: list[list[dict]] = [
         {"jitter_pack": 4, "prog_tile": 1024},
         {"jitter_pack": 4, "prog_tile": 2048},
         {"jitter_pack": 8, "prog_tile": 512},
+        {"jitter_pack": 16, "prog_tile": 256},
+        {"jitter_pack": 32, "prog_tile": 128},
+        {"jitter_pack": 16, "prog_tile": 512},
+        {"jitter_pack": 32, "prog_tile": 256},
     ],
     # hit-leaf iteration ("" = auto: queue on the VMEM node tier)
     [
