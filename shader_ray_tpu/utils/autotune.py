@@ -46,20 +46,22 @@ DEFAULT_SPACE: list[list[dict]] = [
     # 32.7) — so the deeper-packing candidates below extend the
     # frontier: at fixed lane count, more packing + smaller pixel
     # blocks kept winning (S*block >= 1024 is the only shape floor).
+    # Pruned after the round-7 on-chip sweep: every {1,2}@{512..4096}
+    # and 4@{1024,2048} candidate lost on ALL THREE bench scenes (best
+    # of them 15.87 ms vs 14.03 at 8@512 on bunny; terrain 126 vs 84;
+    # 340k 32.7 vs 25.3), so only the shipped default (the baseline is
+    # always measured), the round-7 runner-up, and the deep-packing
+    # frontier remain — a cold-cache tune costs ~half the compiles.
     [
         {"jitter_pack": 2, "prog_tile": 2048},
-        {"jitter_pack": 1, "prog_tile": 4096},
-        {"jitter_pack": 2, "prog_tile": 4096},
-        {"jitter_pack": 2, "prog_tile": 1024},
-        {"jitter_pack": 2, "prog_tile": 512},
         {"jitter_pack": 4, "prog_tile": 512},
-        {"jitter_pack": 4, "prog_tile": 1024},
-        {"jitter_pack": 4, "prog_tile": 2048},
         {"jitter_pack": 8, "prog_tile": 512},
-        {"jitter_pack": 16, "prog_tile": 256},
-        {"jitter_pack": 32, "prog_tile": 128},
+        {"jitter_pack": 8, "prog_tile": 256},
         {"jitter_pack": 16, "prog_tile": 512},
+        {"jitter_pack": 16, "prog_tile": 256},
+        {"jitter_pack": 16, "prog_tile": 128},
         {"jitter_pack": 32, "prog_tile": 256},
+        {"jitter_pack": 32, "prog_tile": 128},
     ],
     # hit-leaf iteration ("" = auto: queue on the VMEM node tier)
     [
@@ -104,15 +106,40 @@ def _tune_path(key: str, h: str) -> str:
     return os.path.join(default_cache_dir(), f"tune-{key}-{h}.json")
 
 
+def _repo_tune_dir() -> str | None:
+    """Committed tune store: ``<repo>/tunes/``.  The user cache dir is
+    wiped whenever the host is re-imaged (observed between driver
+    rounds), so winners measured on-chip are committed to the repo; a
+    cold machine then applies them at zero search cost.  None when the
+    package is installed without the repo checkout."""
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "tunes",
+    )
+    return d if os.path.isdir(d) else None
+
+
+def _repo_tune_path(key: str, h: str) -> str | None:
+    d = _repo_tune_dir()
+    return os.path.join(d, f"tune-{key}-{h}.json") if d else None
+
+
 def load_tuned(key: str, statics, samples: int, space=None) -> dict | None:
     """Best knobs from a previous autotune of this (scene, config), or
-    None.  ``key`` is the scene-cache key (content + build knobs)."""
+    None.  ``key`` is the scene-cache key (content + build knobs).
+    Looks in the user cache dir first, then the repo-committed store."""
     space = space if space is not None else DEFAULT_SPACE
-    try:
-        with open(_tune_path(key, _space_key(statics, samples, space))) as f:
-            return json.load(f)["best"]
-    except (OSError, ValueError, KeyError):
-        return None
+    h = _space_key(statics, samples, space)
+    for path in (_tune_path(key, h), _repo_tune_path(key, h)):
+        if not path:
+            continue
+        try:
+            with open(path) as f:
+                return json.load(f)["best"]
+        except (OSError, ValueError, KeyError):
+            continue
+    return None
 
 
 def _apply(cfg, knobs: dict):
@@ -218,19 +245,26 @@ def autotune(
     if verbose:
         print(f"autotune best: {best_knobs}", file=sys.stderr)
     if key:
-        try:
-            path = _tune_path(key, _space_key(statics, samples, space))
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(
-                    {"best": best_knobs, "results_ms": results,
-                     "samples": samples, "ts": time.time()},
-                    f, indent=1,
-                )
-            os.replace(tmp, path)
-        except OSError:
-            pass
+        h = _space_key(statics, samples, space)
+        payload = {"best": best_knobs, "results_ms": results,
+                   "samples": samples, "ts": time.time()}
+        # user cache + (opt-in, SRT_TUNE_REPO=1) the committed store —
+        # reads always consult both, but writes into the checkout must
+        # not happen from arbitrary user runs / tests
+        paths = [_tune_path(key, h)]
+        if os.environ.get("SRT_TUNE_REPO"):
+            paths.append(_repo_tune_path(key, h))
+        for path in paths:
+            if not path:
+                continue
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(payload, f, indent=1)
+                os.replace(tmp, path)
+            except OSError:
+                pass
     if apply:
         for k, v in best_knobs.items():
             setattr(renderer.cfg, k, v)

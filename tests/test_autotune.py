@@ -73,6 +73,52 @@ def test_autotune_searches_applies_and_persists(tmp_path, monkeypatch):
     )
 
 
+def test_repo_tune_store_fallback(tmp_path, monkeypatch):
+    """The committed <repo>/tunes store: load_tuned falls back to it
+    when the user cache misses (a re-imaged host wipes ~/.cache), and
+    autotune writes there only under SRT_TUNE_REPO=1."""
+    import shader_ray_tpu.utils.autotune as at
+
+    cache = tmp_path / "cache"
+    repo = tmp_path / "tunes"
+    cache.mkdir()
+    repo.mkdir()
+    monkeypatch.setenv("SRT_CACHE_DIR", str(cache))
+    monkeypatch.delenv("SRT_TUNE_REPO", raising=False)
+    monkeypatch.setattr(at, "_repo_tune_dir", lambda: str(repo))
+
+    statics = RenderStatics(width=128, height=8, tile_size=1024)
+    h = at._space_key(statics, 2, SPACE)
+    best = {"jitter_pack": 2, "prog_tile": 1024}
+
+    # repo store alone satisfies the read
+    (repo / f"tune-k-{h}.json").write_text(json.dumps({"best": best}))
+    assert load_tuned("k", statics, 2, SPACE) == best
+    # user cache wins when both exist
+    (cache / f"tune-k-{h}.json").write_text(
+        json.dumps({"best": {"jitter_pack": 4, "prog_tile": 512}})
+    )
+    assert load_tuned("k", statics, 2, SPACE)["jitter_pack"] == 4
+
+    # write gate: the persist step in autotune() must not touch the
+    # repo dir unless opted in (exercise just the persist block via a
+    # zero-stage space so no rendering happens)
+    pos, _ = uv_sphere(lat=6, lon=8)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    renderer = Renderer(
+        data, procedural_sky(64), config=Config(), engine="packet"
+    )
+    params = default_frame_params()
+    autotune(renderer, statics, params, samples=2, frames=1,
+             key="w", space=[], verbose=False)
+    assert not list(repo.glob("tune-w-*"))
+    assert list(cache.glob("tune-w-*"))
+    monkeypatch.setenv("SRT_TUNE_REPO", "1")
+    autotune(renderer, statics, params, samples=2, frames=1,
+             key="w2", space=[], verbose=False)
+    assert list(repo.glob("tune-w2-*"))
+
+
 def test_renderer_traces_under_its_own_config(monkeypatch):
     """Kernel knobs read from the process config at trace time
     (walk_pops, leaf_scan) must see the RENDERER's config instance —
