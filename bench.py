@@ -331,9 +331,14 @@ def main() -> None:
     # which=1 textureGrad quality mode and the 340k-tri VMEM node tier
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         try:
-            out["which1"] = _time_progressive(
-                renderer, statics._replace(which=1), params
-            )
+            # own tune key (the statics tuple differs by `which`, so the
+            # space hash differs): the quality mode's knob optimum need
+            # not match the which=0 winner — env-window DMA shifts the
+            # pack/block balance.  Headline timing is already recorded,
+            # so re-tuning this renderer's cfg is safe.
+            s1 = statics._replace(which=1)
+            _maybe_tune(renderer, s1, params, scene_key)
+            out["which1"] = _time_progressive(renderer, s1, params)
         except Exception as e:
             print(f"which1 bench failed: {e}", file=sys.stderr)
         try:

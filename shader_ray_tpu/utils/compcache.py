@@ -64,20 +64,62 @@ def cache_subdir() -> str:
     return "xla"
 
 
+def _repo_cache_dir(subdir: str) -> str:
+    """Committed compile-cache store: ``<repo>/xla_cache/<subdir>``."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "xla_cache", subdir,
+    )
+
+
+def _seed_from_repo(path: str, subdir: str) -> int:
+    """Copy committed cache entries missing from ``path`` out of
+    ``<repo>/xla_cache/<subdir>``.
+
+    The per-round host re-image wipes the user cache; on the axon
+    remote compiler that costs 7-310 s PER PROGRAM to rebuild — enough
+    to eat a driver bench timeout.  TPU entries are device executables
+    keyed on program text (host-independent), so the exact driver-path
+    set is committed to the repo and seeded here.  CPU entries are
+    host-keyed AOT results (see host_cache_key) and only seed when the
+    fingerprint dir matches.  Returns the number of entries copied."""
+    import shutil
+
+    src = _repo_cache_dir(subdir)
+    if not os.path.isdir(src) or os.path.realpath(src) == os.path.realpath(
+        path
+    ):
+        return 0
+    n = 0
+    for name in os.listdir(src):
+        dst = os.path.join(path, name)
+        if name.startswith(".") or os.path.exists(dst):
+            continue
+        try:
+            shutil.copyfile(os.path.join(src, name), dst)
+            n += 1
+        except OSError:
+            pass
+    return n
+
+
 def enable_compilation_cache(path: str | None = None) -> str:
     """Idempotently point jax at an on-disk compilation cache."""
     global _enabled
     import jax
 
+    subdir = cache_subdir()
     path = path or os.path.join(
         os.path.expanduser(
             os.environ.get("SRT_CACHE_DIR", "~/.cache/shader_ray_tpu")
         ),
-        cache_subdir(),
+        subdir,
     )
     if _enabled:
         return path
     os.makedirs(path, exist_ok=True)
+    _seed_from_repo(path, subdir)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache everything: even "cheap" compiles cost seconds on axon
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -125,3 +125,37 @@ def test_compilation_cache_is_host_keyed_on_cpu(tmp_path, monkeypatch):
     finally:
         # don't leave the process-global cache pointed at the tmpdir
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_compilation_cache_seeds_from_repo_store(tmp_path, monkeypatch):
+    """A re-imaged host wipes the user cache; enable_compilation_cache
+    copies the committed <repo>/xla_cache entries in (missing files
+    only — a fresher local entry is never clobbered)."""
+    import jax
+
+    from shader_ray_tpu.utils import compcache
+
+    repo = tmp_path / "store" / compcache.cache_subdir()
+    repo.mkdir(parents=True)
+    (repo / "jit__fn-aaaa-cache").write_bytes(b"committed")
+    (repo / "jit__fn-bbbb-cache").write_bytes(b"committed2")
+    (repo / ".gitkeep").write_text("")
+    monkeypatch.setattr(
+        compcache, "_repo_cache_dir",
+        lambda subdir: str(tmp_path / "store" / subdir),
+    )
+    monkeypatch.setenv("SRT_CACHE_DIR", str(tmp_path / "user"))
+    monkeypatch.setattr(compcache, "_enabled", False)
+    # a pre-existing local entry must survive the seed
+    local = tmp_path / "user" / compcache.cache_subdir()
+    local.mkdir(parents=True)
+    (local / "jit__fn-aaaa-cache").write_bytes(b"local-newer")
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        path = compcache.enable_compilation_cache()
+        assert (local / "jit__fn-bbbb-cache").read_bytes() == b"committed2"
+        assert (local / "jit__fn-aaaa-cache").read_bytes() == b"local-newer"
+        assert not (local / ".gitkeep").exists()
+        assert path == str(local)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
