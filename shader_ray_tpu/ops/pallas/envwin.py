@@ -559,10 +559,20 @@ def _run_window_kernel(
             pltpu.SemaphoreType.DMA((3 * n_windows,)),
         ],
         # the per-fold-row tent weights are (WIN_LANES, C) f32 — at
-        # large tiles (jitter-packed superframes, C = 2048) they blow
-        # the default 16 MB scoped-vmem budget; scale it with C
+        # large tiles (jitter-packed superframes) they blow the default
+        # 16 MB scoped-vmem budget.  16384*C is measured-sufficient for
+        # the 2-window path up to C=2048; the grad (aniso, 4-window)
+        # path at C=1024 asks 58.4 MB (Mosaic stack accounting covers
+        # the tents for all 4 windows plus double-buffered operand
+        # blocks), so it scales 4x — the limit is an allowance, not an
+        # allocation, and v5e has 128 MB of VMEM physically.  Oversize
+        # jitter-packed grad tiles that exceed the 100 MB cap fail at
+        # compile time and the autotune skips them.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=max(16 << 20, 16384 * C),
+            vmem_limit_bytes=min(
+                100 << 20,
+                max(16 << 20, (65536 if grad else 16384) * C),
+            ),
         ),
         interpret=interpret,
     )(

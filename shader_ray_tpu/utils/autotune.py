@@ -46,22 +46,25 @@ DEFAULT_SPACE: list[list[dict]] = [
     # 32.7) — so the deeper-packing candidates below extend the
     # frontier: at fixed lane count, more packing + smaller pixel
     # blocks kept winning (S*block >= 1024 is the only shape floor).
-    # Pruned after the round-7 on-chip sweep: every {1,2}@{512..4096}
-    # and 4@{1024,2048} candidate lost on ALL THREE bench scenes (best
-    # of them 15.87 ms vs 14.03 at 8@512 on bunny; terrain 126 vs 84;
-    # 340k 32.7 vs 25.3), so only the shipped default (the baseline is
-    # always measured), the round-7 runner-up, and the deep-packing
-    # frontier remain — a cold-cache tune costs ~half the compiles.
+    # Pruned after the round-7/8 on-chip sweeps: every {1,2}@{512..4096},
+    # 4@{512..2048} and 8@256 candidate lost on ALL THREE bench scenes,
+    # so only the shipped default (the baseline is always measured) and
+    # the deep-packing frontier remain — a cold-cache tune costs ~half
+    # the compiles.  64-deep candidates need a 64-sample batch (pack
+    # must divide the batch; smaller batches degrade to the largest
+    # divisor, see render_progressive_packet) — measured round 8:
+    # bunny 64@128 9.39 ms vs 32@256 9.58 at batch 64, 10.13 at 32.
+    # 64@512 (32768-lane tiles) lost at 12.5; 32@512 lost at 11.0.
     [
         {"jitter_pack": 2, "prog_tile": 2048},
-        {"jitter_pack": 4, "prog_tile": 512},
         {"jitter_pack": 8, "prog_tile": 512},
-        {"jitter_pack": 8, "prog_tile": 256},
         {"jitter_pack": 16, "prog_tile": 512},
         {"jitter_pack": 16, "prog_tile": 256},
         {"jitter_pack": 16, "prog_tile": 128},
         {"jitter_pack": 32, "prog_tile": 256},
         {"jitter_pack": 32, "prog_tile": 128},
+        {"jitter_pack": 64, "prog_tile": 256},
+        {"jitter_pack": 64, "prog_tile": 128},
     ],
     # hit-leaf iteration ("" = auto: queue on the VMEM node tier)
     [
