@@ -139,9 +139,11 @@ def load_tuned(key: str, statics, samples: int, space=None) -> dict | None:
             continue
         try:
             with open(path) as f:
-                return json.load(f)["best"]
+                best = json.load(f)["best"]
         except (OSError, ValueError, KeyError):
             continue
+        if best:  # an empty best (failed search) is a miss, not a tune
+            return best
     return None
 
 
@@ -247,6 +249,13 @@ def autotune(
             best_knobs.update(stage_best)
     if verbose:
         print(f"autotune best: {best_knobs}", file=sys.stderr)
+    if not results:
+        # every candidate failed (e.g. the backend wedged mid-search):
+        # persisting the empty result would make every FUTURE run
+        # cache-hit an empty tune and never search again
+        print("autotune: no candidate measured; nothing persisted",
+              file=sys.stderr)
+        return best_knobs, results
     if key:
         h = _space_key(statics, samples, space)
         payload = {"best": best_knobs, "results_ms": results,

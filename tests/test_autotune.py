@@ -101,22 +101,44 @@ def test_repo_tune_store_fallback(tmp_path, monkeypatch):
     assert load_tuned("k", statics, 2, SPACE)["jitter_pack"] == 4
 
     # write gate: the persist step in autotune() must not touch the
-    # repo dir unless opted in (exercise just the persist block via a
-    # zero-stage space so no rendering happens)
+    # repo dir unless opted in (measurement stubbed — persistence is
+    # the unit under test)
     pos, _ = uv_sphere(lat=6, lon=8)
     data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
     renderer = Renderer(
         data, procedural_sky(64), config=Config(), engine="packet"
     )
     params = default_frame_params()
+    monkeypatch.setattr(
+        at, "_time_candidate", lambda *a, **k: 0.001
+    )
+    tiny_space = [[{"jitter_pack": 1, "prog_tile": 1024}]]
     autotune(renderer, statics, params, samples=2, frames=1,
-             key="w", space=[], verbose=False)
+             key="w", space=tiny_space, verbose=False)
     assert not list(repo.glob("tune-w-*"))
     assert list(cache.glob("tune-w-*"))
     monkeypatch.setenv("SRT_TUNE_REPO", "1")
     autotune(renderer, statics, params, samples=2, frames=1,
-             key="w2", space=[], verbose=False)
+             key="w2", space=tiny_space, verbose=False)
     assert list(repo.glob("tune-w2-*"))
+
+    # a search where EVERY candidate failed must persist nothing (a
+    # wedged backend would otherwise poison the cache with an empty
+    # best that every later run applies instead of searching)
+    def boom(*a, **k):
+        raise RuntimeError("backend wedged")
+
+    monkeypatch.setattr(at, "_time_candidate", boom)
+    best, results = autotune(renderer, statics, params, samples=2,
+                             frames=1, key="w3", space=tiny_space,
+                             verbose=False)
+    assert best == {} and results == {}
+    assert not list(cache.glob("tune-w3-*"))
+    assert not list(repo.glob("tune-w3-*"))
+    # and an empty persisted best (from an older build) reads as a miss
+    h3 = at._space_key(statics, 2, tiny_space)
+    (cache / f"tune-w3-{h3}.json").write_text(json.dumps({"best": {}}))
+    assert load_tuned("w3", statics, 2, tiny_space) is None
 
 
 def test_renderer_traces_under_its_own_config(monkeypatch):
