@@ -127,6 +127,91 @@ def test_compilation_cache_is_host_keyed_on_cpu(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", prev)
 
 
+def test_stable_program_key_ignores_compile_options(monkeypatch):
+    """The stable seed key hashes program identity only: perturbing the
+    compile_options hash (what the axon tunnel effectively does across
+    reconnects) must not change it, and repeated lowerings of the same
+    program must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from jax._src import cache_key as ck
+    from shader_ray_tpu.utils import compcache
+
+    def f(x):
+        return jnp.cos(x) * 2.0
+
+    backend = jax.local_devices()[0].client
+    m1 = jax.jit(f).lower(jnp.zeros((4,), jnp.float32)).compiler_ir("stablehlo")
+    m2 = jax.jit(f).lower(jnp.zeros((4,), jnp.float32)).compiler_ir("stablehlo")
+    k1 = compcache._stable_program_key(m1, backend)
+    k2 = compcache._stable_program_key(m2, backend)
+    assert k1 == k2 and len(k1) == 64
+
+    orig = ck._hash_serialized_compile_options
+
+    def noisy(h, co, strip=False):
+        orig(h, co, strip)
+        h.update(b"session-noise")
+
+    monkeypatch.setattr(ck, "_hash_serialized_compile_options", noisy)
+    assert compcache._stable_program_key(m1, backend) == k1
+
+    def g(x):
+        return jnp.cos(x) * 3.0  # different program -> different key
+
+    m3 = jax.jit(g).lower(jnp.zeros((4,), jnp.float32)).compiler_ir("stablehlo")
+    assert compcache._stable_program_key(m3, backend) != k1
+
+
+def test_stable_seed_survives_compile_options_noise(tmp_path):
+    """End-to-end cross-process seed: run 1 (NONCE=A, harvest on)
+    compiles and files the executable under its stable key in the repo
+    store; run 2 (NONCE=B — a different jax cache key, empty local
+    cache) must seed from the stable store instead of recompiling.
+    This is the exact axon failure mode: repo entries harvested in one
+    tunnel session missed in the next (13:33 harvest -> 13:37 miss,
+    2026-08-19) because compile_options bytes vary per session."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    helper = os.path.join(os.path.dirname(__file__), "helper_stable_seed.py")
+    store = str(tmp_path / "repostore")
+
+    def run(nonce, cache_dir, harvest):
+        env = dict(os.environ, NONCE=nonce, SRT_CACHE_DIR=cache_dir,
+                   JAX_PLATFORMS="cpu")
+        env["SRT_CCACHE_REPO"] = "1" if harvest else "0"
+        env.pop("XLA_FLAGS", None)
+        return subprocess.run(
+            [_sys.executable, helper, store], env=env, text=True,
+            capture_output=True, timeout=240, cwd="/root/repo")
+
+    r1 = run("A", str(tmp_path / "user1"), harvest=True)
+    assert r1.returncode == 0, r1.stderr
+    assert "RESULT=" in r1.stdout
+    from shader_ray_tpu.utils import compcache
+
+    stable_dir = os.path.join(store, compcache.cache_subdir() + "-stable")
+    assert os.path.isdir(stable_dir) and len(os.listdir(stable_dir)) >= 1
+
+    r2 = run("B", str(tmp_path / "user2"), harvest=False)
+    assert r2.returncode == 0, r2.stderr
+    assert "compcache: seeded" in r2.stdout, r2.stdout
+    # same numeric result through the seeded executable
+    res1 = [l for l in r1.stdout.splitlines() if l.startswith("RESULT=")]
+    res2 = [l for l in r2.stdout.splitlines() if l.startswith("RESULT=")]
+    assert res1 == res2
+    # run 2's local dir holds the seeded entry under ITS key (B), which
+    # differs from run 1's (A) — proving the key-translation happened
+    e1 = {l for l in r1.stdout.splitlines() if l.startswith("ENTRY=")}
+    e2 = {l for l in r2.stdout.splitlines() if l.startswith("ENTRY=")}
+    ours1 = {e for e in e1 if "jit_f-" in e}
+    ours2 = {e for e in e2 if "jit_f-" in e}
+    assert ours1 and ours2 and ours1.isdisjoint(ours2)
+
+
 def test_compilation_cache_seeds_from_repo_store(tmp_path, monkeypatch):
     """A re-imaged host wipes the user cache; enable_compilation_cache
     copies the committed <repo>/xla_cache entries in (missing files
