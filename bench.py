@@ -82,30 +82,52 @@ def _last_good_path() -> str:
     return os.path.join(default_cache_dir(), "bench_last_good.json")
 
 
+def _repo_last_good_path() -> str:
+    """Committed copy: a re-imaged host has an empty cache dir, so a
+    tunnel outage on a fresh machine would otherwise have nothing to
+    report.  Lives next to the committed tune store."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tunes", "bench_last_good.json",
+    )
+
+
 def _record_last_good(out: dict) -> None:
     """Persist a successful headline JSON so a later infra outage can
     report the last real measurement instead of reading as a perf
-    collapse (VERDICT r2 weak #5)."""
+    collapse (VERDICT r2 weak #5).  SRT_TUNE_REPO=1 (the tune-store
+    harvest discipline) also refreshes the committed repo copy."""
     try:
         rec = dict(out)
         rec["captured_unix"] = time.time()
         rec["captured_at"] = time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
         )
-        path = _last_good_path()
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(rec, f)
+        paths = [_last_good_path()]
+        if os.environ.get("SRT_TUNE_REPO") == "1":
+            paths.append(_repo_last_good_path())
+        for path in paths:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(rec, f)
     except Exception as e:  # bookkeeping must never sink the benchmark
         print(f"last-good record failed: {e}", file=sys.stderr)
 
 
 def _load_last_good() -> dict | None:
-    try:
-        with open(_last_good_path()) as f:
-            return json.load(f)
-    except Exception:
-        return None
+    """Local cache first (freshest), then the committed repo copy."""
+    for path, source in (
+        (_last_good_path(), "local cache"),
+        (_repo_last_good_path(), "committed repo store"),
+    ):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            rec["source"] = source
+            return rec
+        except Exception:
+            continue
+    return None
 
 
 def _emit_backend_down(attempt: int, reason: str | None = None) -> None:

@@ -48,6 +48,9 @@ def test_down_tunnel_without_history_still_emits_error(
     tmp_path, monkeypatch, capsys
 ):
     monkeypatch.setenv("SRT_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(  # a truly fresh machine: no repo copy either
+        bench, "_repo_last_good_path",
+        lambda: str(tmp_path / "absent.json"))
     monkeypatch.setenv("BENCH_WAIT_S", "0.5")
     monkeypatch.setattr(bench, "_run_probe",
                         lambda code, budget: (False, "simulated down"))
@@ -58,6 +61,33 @@ def test_down_tunnel_without_history_still_emits_error(
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["value"] == 0.0 and "error" in out
     assert "last_good" not in out  # no fabricated history
+
+
+def test_down_tunnel_on_reimaged_host_reports_committed_last_good(
+    tmp_path, monkeypatch, capsys
+):
+    """A re-imaged host has an EMPTY cache dir; the committed repo copy
+    (tunes/bench_last_good.json, refreshed under SRT_TUNE_REPO=1) must
+    back the last_good block so the driver outage record still shows
+    the last verified on-chip measurement."""
+    monkeypatch.setenv("SRT_CACHE_DIR", str(tmp_path))  # empty = fresh
+    repo = tmp_path / "repo_last_good.json"
+    monkeypatch.setattr(bench, "_repo_last_good_path", lambda: str(repo))
+    monkeypatch.setenv("SRT_TUNE_REPO", "1")
+    bench._record_last_good({"metric": "mrays_per_s", "value": 501.85,
+                             "unit": "Mrays/s", "vs_baseline": 2.5092})
+    assert repo.exists()
+    # wipe the local cache copy: only the committed store remains
+    (tmp_path / "bench_last_good.json").unlink()
+    monkeypatch.setenv("BENCH_WAIT_S", "0.5")
+    monkeypatch.setattr(bench, "_run_probe",
+                        lambda code, budget: (False, "simulated down"))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    with pytest.raises(SystemExit):
+        bench._wait_for_backend()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["last_good"]["value"] == 501.85
+    assert out["last_good"]["source"] == "committed repo store"
 
 
 def test_probe_schedule_is_adaptive(monkeypatch):
