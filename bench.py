@@ -40,10 +40,12 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "5"))
 # batch (the REPL's `prog N`) renders N jittered frames in ONE device
 # dispatch, amortizing the ~40 ms axon host round-trip that otherwise
 # dominates a 1024x768 frame.  BENCH_BATCH=1 times bare single frames.
-# Default 64 = the round-8 measured best (9.58 ms amortized at the
-# same 32-deep packing that gave 10.13 at batch 32, and batch 64
-# unlocks 64-deep jitter packing: 9.39 ms); 128 was ruled out round 6.
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# Default 128 = the round-9 measured best: batch 128 unlocks 128-deep
+# jitter packing (scripts/probe_pack128.py: 8.45 ms amortized vs 9.68
+# at 64-deep, K=128) — the packing frontier turns over past that
+# (256-deep 10.33).  Round 6's "128 ruled out" predates deep packing
+# (it measured batch growth alone at S=2).
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 TARGET_MRAYS = 200.0
 
 
@@ -415,7 +417,7 @@ def _maybe_tune(renderer, statics, params, scene_key) -> None:
     # give each sub-benchmark its own config so a tuned knob set does
     # not leak into the others (Renderer defaults to the process one)
     renderer.cfg = copy.copy(renderer.cfg)
-    samples = min(BATCH, 64)
+    samples = min(BATCH, 128)
     if mode != "1":
         best = load_tuned(scene_key, statics, samples)
         if best:
@@ -429,7 +431,9 @@ def _maybe_tune(renderer, statics, params, scene_key) -> None:
 def _time_progressive(renderer, statics, params, batch=None, frames=3) -> dict:
     """Median amortized frame time of a progressive batch (the same
     methodology as the headline), as a nested metric dict."""
-    batch = batch or min(BATCH, 32)
+    # match the tune's sample count (a smaller batch would silently
+    # degrade a deep jitter_pack winner to the largest divisor)
+    batch = batch or min(BATCH, 128)
     pfn = renderer.make_progressive_fn(statics, batch, reduce_sum=True)
     if pfn is None:
         raise RuntimeError("no device-batched progressive path")

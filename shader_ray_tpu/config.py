@@ -193,11 +193,13 @@ class Config:
             )
         if self.prog_tile:
             c = self.prog_tile // 8
-            if self.prog_tile % 128 or c & (c - 1):
+            if self.prog_tile % 8 or c & (c - 1) or self.prog_tile < 64:
                 raise ValueError(
                     f"prog_tile={self.prog_tile} invalid: need a "
-                    "power-of-two multiple of 128 (sub-1024 blocks are "
-                    "only valid jitter-packed)"
+                    "power-of-two multiple of 8, >= 64 (the engine's "
+                    "FOLD-sublane floor; sub-1024 blocks only take "
+                    "effect jitter-packed — unpacked dispatches round "
+                    "up to the 1024-lane kernel minimum)"
                 )
         return self
 

@@ -46,25 +46,30 @@ DEFAULT_SPACE: list[list[dict]] = [
     # 32.7) — so the deeper-packing candidates below extend the
     # frontier: at fixed lane count, more packing + smaller pixel
     # blocks kept winning (S*block >= 1024 is the only shape floor).
-    # Pruned after the round-7/8 on-chip sweeps: every {1,2}@{512..4096},
-    # 4@{512..2048} and 8@256 candidate lost on ALL THREE bench scenes,
-    # so only the shipped default (the baseline is always measured) and
-    # the deep-packing frontier remain — a cold-cache tune costs ~half
-    # the compiles.  64-deep candidates need a 64-sample batch (pack
+    # Pruned after the round-7/8/9 on-chip sweeps: every {1,2}@{512..4096},
+    # 4@{512..2048}, 8@{256,512} and 16@{128..512} candidate lost on ALL
+    # THREE bench scenes (see tunes/*.json results_ms), so only the
+    # shipped default (the baseline is always measured) and the
+    # deep-packing frontier remain — a cold-cache tune costs ~half
+    # the compiles.  S-deep candidates need an S-sample batch (pack
     # must divide the batch; smaller batches degrade to the largest
-    # divisor, see render_progressive_packet) — measured round 8:
-    # bunny 64@128 9.39 ms vs 32@256 9.58 at batch 64, 10.13 at 32.
-    # 64@512 (32768-lane tiles) lost at 12.5; 32@512 lost at 11.0.
+    # divisor, see render_progressive_packet) — bench runs BATCH=128.
+    # Round-9 frontier probe (scripts/probe_pack128.py, on-chip, bunny
+    # K=128/256): 128@128 8.45 ms beat 64@128 9.68; the frontier TURNS
+    # OVER past that — 256@128 10.33, 128@256 10.07, 256@64 failed to
+    # compile.  128@64 measured 8.46 (== 128@128 within noise) on the
+    # coherent bunny, so the tile-64 variants stay as candidates for
+    # the divergent scenes, where smaller pixel blocks kept winning at
+    # every depth.
     [
         {"jitter_pack": 2, "prog_tile": 2048},
-        {"jitter_pack": 8, "prog_tile": 512},
-        {"jitter_pack": 16, "prog_tile": 512},
-        {"jitter_pack": 16, "prog_tile": 256},
-        {"jitter_pack": 16, "prog_tile": 128},
         {"jitter_pack": 32, "prog_tile": 256},
         {"jitter_pack": 32, "prog_tile": 128},
         {"jitter_pack": 64, "prog_tile": 256},
         {"jitter_pack": 64, "prog_tile": 128},
+        {"jitter_pack": 64, "prog_tile": 64},
+        {"jitter_pack": 128, "prog_tile": 128},
+        {"jitter_pack": 128, "prog_tile": 64},
     ],
     # hit-leaf iteration ("" = auto: queue on the VMEM node tier)
     [
@@ -217,36 +222,57 @@ def autotune(
     # the baseline re-listed in a later stage) dedups instead of
     # re-measuring the same effective program
     all_keys = sorted({k for st in space for cand in st for k in cand})
-    for stage in space:
-        stage_best, stage_t = None, np.inf
-        for cand in stage:
-            knobs = {**best_knobs, **cand}
-            tag = json.dumps(
-                {k: knobs.get(k, getattr(base, k, None)) for k in all_keys},
-                sort_keys=True,
-            )
-            if tag in results:
-                t = results[tag] / 1e3
-            else:
-                try:
-                    t = _time_candidate(
-                        renderer, _apply(base, knobs), statics, params,
-                        samples, frames,
-                    )
-                except Exception as e:  # an invalid combo must not
-                    # sink the search (e.g. no packed path for a mode)
-                    if verbose:
-                        print(f"autotune: {knobs} failed: {e}",
-                              file=sys.stderr)
+    # ITERATED descent: a single pass sweeps each stage at the knobs
+    # chosen SO FAR, which mispicks when stages interact — measured
+    # round 9 on the bunny headline: the pack sweep at the default
+    # walk_pops=4 picked 32@256 (10.15 ms) over 128@128 (10.35), but
+    # once pops=2 landed the true optimum was 128@128 @ pops 2
+    # (8.45 ms vs the single-pass 9.38).  Later passes re-sweep every
+    # stage with the current winners applied; tag dedup makes a
+    # converged pass nearly free (only never-measured combos compile).
+    failed: set[str] = set()  # don't re-attempt a failing compile
+    # (e.g. a VMEM-oversubscribed deep-pack candidate) on later passes
+    for pass_n in range(3):
+        pass_start = dict(best_knobs)
+        for stage in space:
+            stage_best, stage_t = None, np.inf
+            for cand in stage:
+                knobs = {**best_knobs, **cand}
+                tag = json.dumps(
+                    {k: knobs.get(k, getattr(base, k, None))
+                     for k in all_keys},
+                    sort_keys=True,
+                )
+                if tag in failed:
                     continue
-                results[tag] = round(t * 1e3, 3)
-                if verbose:
-                    print(f"autotune: {knobs} -> {t * 1e3:.2f} ms/frame",
-                          file=sys.stderr)
-            if t < stage_t:
-                stage_best, stage_t = cand, t
-        if stage_best is not None:
-            best_knobs.update(stage_best)
+                if tag in results:
+                    t = results[tag] / 1e3
+                else:
+                    try:
+                        t = _time_candidate(
+                            renderer, _apply(base, knobs), statics, params,
+                            samples, frames,
+                        )
+                    except Exception as e:  # an invalid combo must not
+                        # sink the search (e.g. no packed path for a mode)
+                        failed.add(tag)
+                        if verbose:
+                            print(f"autotune: {knobs} failed: {e}",
+                                  file=sys.stderr)
+                        continue
+                    results[tag] = round(t * 1e3, 3)
+                    if verbose:
+                        print(
+                            f"autotune[{pass_n}]: {knobs} -> "
+                            f"{t * 1e3:.2f} ms/frame",
+                            file=sys.stderr,
+                        )
+                if t < stage_t:
+                    stage_best, stage_t = cand, t
+            if stage_best is not None:
+                best_knobs.update(stage_best)
+        if best_knobs == pass_start:  # converged: nothing moved
+            break
     if verbose:
         print(f"autotune best: {best_knobs}", file=sys.stderr)
     if not results:

@@ -57,11 +57,17 @@ def test_validate_direct_mutation():
     with pytest.raises(ValueError, match="1, 2, or 4"):
         c.validate()
     c.walk_pops = 4
-    c.prog_tile = 200                  # not a multiple of 128
+    c.prog_tile = 200                  # 200//8 = 25, not a power of two
     with pytest.raises(ValueError, match="prog_tile"):
         c.validate()
     c.prog_tile = 512                  # sub-1024 pow2 multiple: valid
     c.validate()
+    c.prog_tile = 64                   # the FOLD-floor block (packed only)
+    c.validate()
+    c.prog_tile = 32                   # below the 64 floor
+    with pytest.raises(ValueError, match="prog_tile"):
+        c.validate()
+    c.prog_tile = 2048
 
 
 def test_env_mode_env_base_flow_through_config(monkeypatch):

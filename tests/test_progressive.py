@@ -169,3 +169,17 @@ def test_jitter_pack_matches_sequential():
         )
     )
     np.testing.assert_allclose(got, seq, atol=2e-3, err_msg="S=4,block=512")
+    # deep packing at the FOLD-floor block (tile 64, the round-9
+    # autotune frontier): S=16 @ 64 = a 1024-lane packed tile — the
+    # smallest block the validator now admits
+    jit16 = jnp.concatenate([jitters] * 4, axis=0)
+    args16 = (packed, params, statics, jit16)
+    seq16 = np.asarray(
+        render_progressive_packet(*args16, tile=1024, interpret=True)
+    )
+    got = np.asarray(
+        render_progressive_packet(
+            *args16, tile=64, interpret=True, jitter_pack=16
+        )
+    )
+    np.testing.assert_allclose(got, seq16, atol=2e-3, err_msg="S=16,block=64")
