@@ -415,8 +415,16 @@ def _maybe_tune(renderer, statics, params, scene_key) -> None:
     from shader_ray_tpu.utils.autotune import autotune, load_tuned
 
     # give each sub-benchmark its own config so a tuned knob set does
-    # not leak into the others (Renderer defaults to the process one)
-    renderer.cfg = copy.copy(renderer.cfg)
+    # not leak into the others (Renderer defaults to the process one),
+    # starting every sub-benchmark from the renderer's PRE-TUNE config:
+    # the bench reuses the headline renderer for the which=1 sub-metric,
+    # and inheriting the headline's deep-pack winner OOMs the grad env
+    # path (measured live, driver round 3: which1 at the headline's
+    # 128x128-tile tune asks 130 MB of VMEM and the compile fails;
+    # the untuned defaults measure fine at 27.9 ms)
+    if not hasattr(renderer, "_pretune_cfg"):
+        renderer._pretune_cfg = copy.copy(renderer.cfg)
+    renderer.cfg = copy.copy(renderer._pretune_cfg)
     samples = min(BATCH, 128)
     if mode != "1":
         best = load_tuned(scene_key, statics, samples)

@@ -34,7 +34,10 @@ def _path(key: str) -> str:
 def save_scene_data(key: str, data: SceneData) -> str:
     path = _path(key)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp.npz"
+    # pid-unique temp name: concurrent same-key builders (parallel
+    # pytest workers) sharing one temp path would interleave writes and
+    # os.replace a corrupt archive
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
     np.savez_compressed(
         tmp,
         tri_positions=data.tri_positions,

@@ -145,6 +145,101 @@ def test_repo_tune_store_fallback(tmp_path, monkeypatch):
     assert load_tuned("w3", statics, 2, tiny_space) is None
 
 
+def test_space_edit_falls_back_to_prior_winner(tmp_path, monkeypatch):
+    """Editing the search space changes every exact-space hash, which
+    used to orphan all persisted tunes (measured live, driver round 3:
+    the cold bench ran terrain at its 193 ms untuned default because
+    the round-9 space edit re-tuned only the bunny scene).  The apply
+    path must fall back to the newest same-(scene, statics) tune under
+    ANY space; the search path must NOT treat that as a cache hit."""
+    import shader_ray_tpu.utils.autotune as at
+
+    monkeypatch.setenv("SRT_CACHE_DIR", str(tmp_path))
+    statics = RenderStatics(width=128, height=8, tile_size=1024)
+    old_space = [[{"jitter_pack": 1}, {"jitter_pack": 4}]]
+    h_old = at._space_key(statics, 2, old_space)
+    best = {"jitter_pack": 4, "prog_tile": 1024}
+    (tmp_path / f"tune-sc-{h_old}.json").write_text(json.dumps({
+        "best": best, "samples": 2, "ts": 100.0,
+        "statics_tag": at._statics_tag(statics),
+    }))
+
+    new_space = [[{"jitter_pack": 1}, {"jitter_pack": 2}]]
+    # apply path: fallback finds the old-space winner
+    assert load_tuned("sc", statics, 2, new_space) == best
+    # search path: exact-only misses, so a search would still run
+    assert load_tuned("sc", statics, 2, new_space, fallback=False) is None
+    # different statics (same scene key) must not match — the bench's
+    # which=1 sub-metric shares the scene key with the headline
+    assert load_tuned("sc", statics._replace(which=1), 2,
+                      new_space) is None
+    # a record without statics_tag (older build) is skipped
+    (tmp_path / f"tune-sc2-{h_old}.json").write_text(
+        json.dumps({"best": best, "samples": 2, "ts": 100.0})
+    )
+    assert load_tuned("sc2", statics, 2, new_space) is None
+
+    # newest wins; equal-samples records are preferred over newer
+    # mismatched-samples ones
+    (tmp_path / "tune-sc-aaaaaaaaaaaa.json").write_text(json.dumps({
+        "best": {"jitter_pack": 8}, "samples": 4, "ts": 500.0,
+        "statics_tag": at._statics_tag(statics),
+    }))
+    assert load_tuned("sc", statics, 2, new_space) == best  # samples=2
+    (tmp_path / "tune-sc-bbbbbbbbbbbb.json").write_text(json.dumps({
+        "best": {"jitter_pack": 16}, "samples": 2, "ts": 900.0,
+        "statics_tag": at._statics_tag(statics),
+    }))
+    assert load_tuned("sc", statics, 2, new_space) == {"jitter_pack": 16}
+
+    # retired/renamed knobs are dropped, surviving ones still apply
+    (tmp_path / "tune-sc-cccccccccccc.json").write_text(json.dumps({
+        "best": {"jitter_pack": 16, "leaf_mode": "gone", "no_such": 1},
+        "samples": 2, "ts": 999.0,
+        "statics_tag": at._statics_tag(statics),
+    }))
+    assert load_tuned("sc", statics, 2, new_space) == {"jitter_pack": 16}
+
+
+def test_search_seeds_from_prior_space_winner(tmp_path, monkeypatch):
+    """A fresh search under an edited space warm-starts from the prior
+    winner: its knobs join every stage baseline, so the old optimum is
+    measured (and only beaten, never silently lost)."""
+    import shader_ray_tpu.utils.autotune as at
+
+    monkeypatch.setenv("SRT_CACHE_DIR", str(tmp_path))
+    statics = RenderStatics(width=128, height=8, tile_size=1024)
+    old_space = [[{"walk_pops": 4}, {"walk_pops": 2}]]
+    h_old = at._space_key(statics, 2, old_space)
+    (tmp_path / f"tune-seed-{h_old}.json").write_text(json.dumps({
+        "best": {"walk_pops": 2}, "samples": 2, "ts": 100.0,
+        "statics_tag": at._statics_tag(statics),
+    }))
+
+    seen = []
+
+    def fake_time(renderer, cfg, statics, params, samples, frames):
+        seen.append((cfg.jitter_pack, cfg.walk_pops))
+        return 0.001 * cfg.jitter_pack
+
+    monkeypatch.setattr(at, "_time_candidate", fake_time)
+    pos, _ = uv_sphere(lat=6, lon=8)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    renderer = Renderer(
+        data, procedural_sky(64), config=Config(), engine="packet"
+    )
+    # new space sweeps jitter_pack only; walk_pops comes from the seed
+    new_space = [[{"jitter_pack": 1}, {"jitter_pack": 2}]]
+    best, results = autotune(
+        renderer, statics, default_frame_params(), samples=2, frames=1,
+        key="seed", space=new_space, verbose=False,
+    )
+    assert best["jitter_pack"] == 1
+    # every candidate ran at the seeded pops=2, not the default 1
+    # (conftest pins SRT_POPS=1) — proving the seed applied
+    assert seen and all(p == 2 for _, p in seen)
+
+
 def test_iterated_descent_escapes_stage_interaction(tmp_path, monkeypatch):
     """Interacting knob groups defeat a single greedy pass: measured
     round 9 on-chip, the pack sweep at the default walk_pops=4 picked

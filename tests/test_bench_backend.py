@@ -90,6 +90,39 @@ def test_down_tunnel_on_reimaged_host_reports_committed_last_good(
     assert out["last_good"]["source"] == "committed repo store"
 
 
+def test_maybe_tune_starts_from_pretune_config(tmp_path, monkeypatch):
+    """Each sub-benchmark's tune must start from the renderer's
+    PRE-TUNE config: the bench reuses the headline renderer for the
+    which=1 sub-metric, and inheriting the headline's deep-pack winner
+    OOMs the which1 grad env path when which1 itself has no tune
+    (measured live, driver round 3: 130 MB VMEM ask at the headline's
+    128x128 tune; the defaults compile fine)."""
+    monkeypatch.setenv("SRT_CACHE_DIR", str(tmp_path))
+    monkeypatch.setenv("BENCH_TUNE", "auto")
+    from shader_ray_tpu.config import Config
+    from shader_ray_tpu.ops.render import RenderStatics
+
+    class R:
+        pass
+
+    r = R()
+    r.cfg = Config()
+    r.cfg.walk_pops = 2  # deliberate pre-bench knob (e.g. SRT_POPS)
+    statics = RenderStatics(width=64, height=8, tile_size=1024)
+
+    # no tune persisted anywhere: knobs keep their pre-tune values
+    bench._maybe_tune(r, statics, None, "scene-x")
+    assert r.cfg.walk_pops == 2
+
+    # the headline tune mutates the live config; the next sub-metric
+    # (same renderer, different statics, still no tune) must NOT
+    # inherit the winner — and must keep the pre-tune knobs
+    r.cfg.jitter_pack, r.cfg.prog_tile = 128, 128
+    bench._maybe_tune(r, statics._replace(which=1), None, "scene-x")
+    assert (r.cfg.jitter_pack, r.cfg.prog_tile) == (2, 2048)
+    assert r.cfg.walk_pops == 2
+
+
 def test_probe_schedule_is_adaptive(monkeypatch):
     """Budgets grow through _PROBE_BUDGETS; many probes fit one budget
     window (the old schedule managed 2 in 900 s)."""
