@@ -160,6 +160,14 @@ def _emit_backend_down(attempt: int, reason: str | None = None) -> None:
 # 900 s deadline in two probes.
 _PROBE_BUDGETS = (60.0, 90.0, 120.0, 180.0, 240.0, 300.0, 420.0)
 
+# consecutive TIMEOUT kills escalate straight to the max budget: a
+# killed probe restarts its remote compile from scratch (nothing
+# partial persists), so stepping 60->90->120->180 against a ~250 s
+# cold compile is a livelock that burns the deadline without ever
+# letting one compile finish (measured round 11: probe dispatch took
+# 248 s under compiler contention; budgets 1-4 all failed).
+_TIMEOUT_ESCALATE_AFTER = 2
+
 
 def _run_probe(code: str, budget: float) -> tuple[bool, str]:
     """One killable subprocess probe; (ok, reason)."""
@@ -213,8 +221,12 @@ def _wait_for_backend() -> None:
         "float(np.asarray(jnp.sum(jnp.ones((8, 8))))))"
     )
     attempt = 0
+    timeouts = 0
     while time.monotonic() < deadline:
-        budget = _PROBE_BUDGETS[min(attempt, len(_PROBE_BUDGETS) - 1)]
+        idx = min(attempt, len(_PROBE_BUDGETS) - 1)
+        if timeouts >= _TIMEOUT_ESCALATE_AFTER:
+            idx = len(_PROBE_BUDGETS) - 1
+        budget = _PROBE_BUDGETS[idx]
         budget = min(budget, max(30.0, deadline - time.monotonic()))
         attempt += 1
         ok, reason = _run_probe(code, budget)
@@ -222,6 +234,7 @@ def _wait_for_backend() -> None:
             if attempt > 1:
                 print(f"backend up after {attempt} probes", file=sys.stderr)
             return
+        timeouts = timeouts + 1 if reason.startswith("timed out") else 0
         print(f"backend probe {attempt} failed: {reason}", file=sys.stderr)
         time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))
     print("backend unavailable after deadline; aborting", file=sys.stderr)

@@ -145,6 +145,55 @@ def test_probe_schedule_is_adaptive(monkeypatch):
     assert list(bench._PROBE_BUDGETS) == sorted(bench._PROBE_BUDGETS)
 
 
+def test_probe_timeouts_escalate_to_max_budget(monkeypatch):
+    """Two consecutive TIMEOUT kills jump straight to the max budget: a
+    killed probe restarts its remote compile from scratch, so stepping
+    through the short budgets against a slow compile (measured 248 s
+    for the probe program under compiler contention, round 11) is a
+    livelock.  Non-timeout failures (e.g. UNAVAILABLE) keep the short
+    schedule — those return fast and the tunnel may recover any time."""
+    budgets = []
+
+    def probe(code, budget):
+        budgets.append(budget)
+        return (False, f"timed out ({budget:.0f}s)")
+
+    monkeypatch.setenv("BENCH_WAIT_S", "100000")
+    monkeypatch.setattr(bench, "_run_probe", probe)
+    sleeps = {"n": 0}
+
+    def fake_sleep(s):
+        sleeps["n"] += 1
+        if sleeps["n"] >= 5:
+            raise KeyboardInterrupt  # stop the loop after 5 probes
+
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    with pytest.raises(KeyboardInterrupt):
+        bench._wait_for_backend()
+    assert budgets[0] == bench._PROBE_BUDGETS[0]
+    assert budgets[1] == bench._PROBE_BUDGETS[1]
+    # probes 3+ run at the max budget, not the stepped schedule
+    assert all(b == bench._PROBE_BUDGETS[-1] for b in budgets[2:])
+
+    # a non-timeout failure between timeouts resets the escalation
+    budgets.clear()
+    sleeps["n"] = 0
+    flavors = ["timed out (60s)", "UNAVAILABLE: tunnel",
+               "timed out (90s)", "timed out (120s)", "timed out (420s)"]
+
+    def probe2(code, budget):
+        budgets.append(budget)
+        return (False, flavors[min(len(budgets) - 1, len(flavors) - 1)])
+
+    monkeypatch.setattr(bench, "_run_probe", probe2)
+    with pytest.raises(KeyboardInterrupt):
+        bench._wait_for_backend()
+    # after the reset at probe 2, two MORE timeouts are needed before
+    # the jump — probe 4 still follows the schedule, probe 5 is maxed
+    assert budgets[3] == bench._PROBE_BUDGETS[3]
+    assert budgets[4] == bench._PROBE_BUDGETS[-1]
+
+
 def test_probe_recovery_returns(monkeypatch):
     """A probe success mid-schedule returns normally (no exit)."""
     calls = {"n": 0}
