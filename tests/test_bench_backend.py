@@ -194,6 +194,45 @@ def test_probe_timeouts_escalate_to_max_budget(monkeypatch):
     assert budgets[4] == bench._PROBE_BUDGETS[-1]
 
 
+def test_congested_tunnel_proceeds_instead_of_aborting(monkeypatch, capsys):
+    """Devices enumerated but the dispatch ran out of budget = the
+    tunnel is UP and the remote compiler congested (measured 248-450 s
+    for the cached probe dispatch, round 11).  The bench must PROCEED —
+    more probe kills abandon in-flight compiles, and a deadline abort
+    would grade an up-but-slow tunnel as 0.0."""
+    monkeypatch.setenv("BENCH_WAIT_S", "900")
+    monkeypatch.setattr(
+        bench, "_run_probe",
+        lambda code, budget: (False, "congested: devices up, dispatch > 60s"))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench._wait_for_backend()  # returns (no SystemExit)
+    assert "proceeding" in capsys.readouterr().err
+
+
+def test_probe_detects_devices_ok_in_partial_output(monkeypatch):
+    """_run_probe classifies a timeout WITH the DEVICES_OK marker in
+    the killed subprocess's partial stdout as congestion, and one
+    without it (blocked in import/device init = tunnel down) as a
+    plain timeout."""
+    import subprocess as sp
+
+    def fake_run(*a, **kw):
+        raise sp.TimeoutExpired(
+            cmd="probe", timeout=kw["timeout"], output=b"DEVICES_OK tpu\n")
+
+    # _run_probe does ``import subprocess`` locally; patch the module
+    monkeypatch.setattr(sp, "run", fake_run)
+    ok, reason = bench._run_probe("code", 60.0)
+    assert not ok and reason.startswith("congested")
+
+    def fake_run2(*a, **kw):
+        raise sp.TimeoutExpired(cmd="probe", timeout=kw["timeout"])
+
+    monkeypatch.setattr(sp, "run", fake_run2)
+    ok, reason = bench._run_probe("code", 60.0)
+    assert not ok and reason.startswith("timed out")
+
+
 def test_probe_recovery_returns(monkeypatch):
     """A probe success mid-schedule returns normally (no exit)."""
     calls = {"n": 0}
