@@ -214,11 +214,15 @@ def _wait_for_backend() -> None:
     if wait_s <= 0:  # disabled: skip probing, let the import just run
         return
     deadline = time.monotonic() + wait_s
-    # the probe ENABLES the persistent compile cache; killing a probe
-    # MID-DISPATCH leaves dispatched-but-unfetched device work — the
-    # exact tunnel-wedging pattern this function exists to avoid
-    # (CLAUDE.md axon rule 3).  A down tunnel blocks in import/device
-    # init long before any dispatch, so the kill there stays safe.
+    # the probe ENABLES the persistent compile cache.  A down tunnel
+    # blocks in import/device init long before any dispatch, so a kill
+    # there is safe — but the CONGESTED path below kills a probe
+    # MID-DISPATCH (devices enumerated, tiny dispatch in flight),
+    # which leaves dispatched-but-unfetched device work: the
+    # tunnel-wedging pattern of axon rule 3.  Before the main process
+    # runs its unprotected in-process ``import jax``, that path takes
+    # a short settle delay plus one quick killable re-probe to confirm
+    # the tunnel still answers (ADVICE r3).
     code = (
         "from shader_ray_tpu.utils.compcache import "
         "enable_compilation_cache; "
@@ -236,7 +240,10 @@ def _wait_for_backend() -> None:
         if timeouts >= _TIMEOUT_ESCALATE_AFTER:
             idx = len(_PROBE_BUDGETS) - 1
         budget = _PROBE_BUDGETS[idx]
-        budget = min(budget, max(30.0, deadline - time.monotonic()))
+        # clamp to the actual remaining deadline (a floor of 5 s keeps
+        # the last probe meaningful without overrunning by ~30 s as
+        # the old max(30, remaining) clamp could — ADVICE r3)
+        budget = min(budget, max(5.0, deadline - time.monotonic()))
         attempt += 1
         ok, reason = _run_probe(code, budget)
         if ok:
@@ -250,10 +257,26 @@ def _wait_for_backend() -> None:
             # other client and the driver's own timeout backstops it —
             # whereas more probe kills abandon in-flight compiles and
             # a deadline abort would grade an up-but-slow tunnel 0.0.
-            print(f"backend probe {attempt}: {reason} — proceeding "
-                  "(tunnel up, remote compiler congested)",
-                  file=sys.stderr)
-            return
+            # The kill just abandoned an IN-FLIGHT dispatch, though —
+            # settle briefly and confirm the tunnel still answers with
+            # one quick killable probe before this process touches jax
+            # (a wedged tunnel blocks ``import jax`` unrecoverably).
+            print(f"backend probe {attempt}: {reason} — tunnel up, "
+                  "remote compiler congested; settling", file=sys.stderr)
+            time.sleep(min(10.0, max(0.0, deadline - time.monotonic())))
+            ok2, reason2 = _run_probe(
+                code, min(45.0, max(5.0, deadline - time.monotonic()))
+            )
+            if ok2 or reason2.startswith("congested"):
+                print("backend answered post-settle; proceeding",
+                      file=sys.stderr)
+                return
+            # the tunnel stopped answering after the mid-dispatch kill
+            # (possibly wedged): fall through to keep probing rather
+            # than hanging the main process in ``import jax``
+            print(f"post-settle re-probe failed: {reason2}; resuming "
+                  "probe loop", file=sys.stderr)
+            continue
         timeouts = timeouts + 1 if reason.startswith("timed out") else 0
         print(f"backend probe {attempt} failed: {reason}", file=sys.stderr)
         time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))

@@ -115,6 +115,19 @@ class Config:
                                      # measured worse unpacked).  0 = ray_tile
     packet_fused: bool = True        # fuse bounce+shadow pipeline into ONE
                                      # pallas_call (kernel_mega); wide only
+    kernel_raygen: bool = True       # packed progressive: generate primary
+                                     # rays INSIDE the megakernel from
+                                     # closed-form pixel coords (no
+                                     # superframe ray arrays in HBM —
+                                     # required for deep jitter packing,
+                                     # S*W*H rays would be GBs at S>=256)
+    kernel_envfuse: bool = True      # packed progressive: sample the env,
+                                     # combine, and reduce jitter copies
+                                     # IN-KERNEL (kernel_mega envfuse) —
+                                     # no per-ray outputs either; a single
+                                     # (S*W*H, 3) output crosses 2^31
+                                     # bytes at S=256 and crashes the TPU
+                                     # compile helper
     packet_interleave: int = 1       # interleaved sub-packet walks per step
                                      # (unfused kernels only)
     walk_pops: int = 4               # stack entries popped per walk step
@@ -235,6 +248,12 @@ class Config:
         c.jitter_pack = _env_int("SRT_JITTER_PACK", c.jitter_pack)
         c.prog_tile = _env_int("SRT_PROG_TILE", c.prog_tile)
         c.packet_fused = _env_int("SRT_FUSED", int(c.packet_fused)) != 0
+        c.kernel_raygen = (
+            _env_int("SRT_KERNEL_RAYGEN", int(c.kernel_raygen)) != 0
+        )
+        c.kernel_envfuse = (
+            _env_int("SRT_KERNEL_ENVFUSE", int(c.kernel_envfuse)) != 0
+        )
         c.packet_interleave = _env_int("SRT_INTERLEAVE", c.packet_interleave)
         c.walk_pops = _env_int("SRT_POPS", c.walk_pops)
         c.min_contrib = _env_float("SRT_MIN_CONTRIB", c.min_contrib)

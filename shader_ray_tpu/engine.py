@@ -103,17 +103,28 @@ class Renderer:
         else:
             raise ValueError(f"unknown engine {self.engine!r}")
 
-    def _cfg_wrap(self, fn):
+    def _cfg_wrap(self, fn, label: str = "frame fn", statics=None):
         """Run ``fn`` with this renderer's config installed as the
         process config: kernel knobs read from the global at TRACE
         time (walk_pops, leaf_scan) must honor ``self.cfg`` even when
         it is not the process instance (autotune candidates, custom
-        Renderer configs)."""
+        Renderer configs).  A compile/launch failure gets the C24
+        CheckShaderCompile-analog dump (utils/kerneldiag.py) — kernel
+        name, knobs, table shapes, actionable hint — before re-raising
+        (ray.cpp:187-235 dumps source + info log on failure)."""
         from shader_ray_tpu.config import use_config
+        from shader_ray_tpu.utils.kerneldiag import report_failure
 
         def wrapped(*a, **k):
             with use_config(self.cfg):
-                return fn(*a, **k)
+                try:
+                    return fn(*a, **k)
+                except Exception as e:
+                    report_failure(
+                        e, cfg=self.cfg, packed=self.packed,
+                        statics=statics, label=label,
+                    )
+                    raise
 
         return wrapped
 
@@ -134,7 +145,7 @@ class Renderer:
                 mesh=self.mesh,
                 leaf_mode=self.cfg.leaf_mode or None,
                 fused=self.cfg.packet_fused,
-            ))
+            ), label="packet frame fn", statics=statics)
         if self.mesh is not None:
             from shader_ray_tpu.parallel import make_sharded_render_fn
 
@@ -173,7 +184,8 @@ class Renderer:
                 ))
 
             return self._cfg_wrap(
-                lambda params: _fn(self.packed, params, statics)
+                lambda params: _fn(self.packed, params, statics),
+                label="packet checksum fn", statics=statics,
             )
 
         from shader_ray_tpu.ops.render import render_frame
@@ -263,7 +275,8 @@ class Renderer:
 
             return self._cfg_wrap(lambda params: _sfn(
                 self.packed, jitters, params, reduce_sum
-            ))
+            ), label=f"sample-sharded progressive fn (K={samples})",
+               statics=statics)
 
         @functools.partial(jax.jit, static_argnames=("statics_", "rsum"))
         def _fn(packed_, jitters_, params, statics_, rsum):
@@ -276,7 +289,7 @@ class Renderer:
 
         return self._cfg_wrap(lambda params: _fn(
             self.packed, jitters, params, statics, reduce_sum
-        ))
+        ), label=f"progressive fn (K={samples})", statics=statics)
 
     def make_stats_fn(self, statics: RenderStatics):
         """Jitted ``fn(params) -> (n_tiles, 13)`` per-phase walk
@@ -319,7 +332,8 @@ class Renderer:
             return res.stats
 
         return self._cfg_wrap(
-            lambda params: _fn(self.packed, params, statics)
+            lambda params: _fn(self.packed, params, statics),
+            label="stats fn", statics=statics,
         )
 
     def make_count_fn(self, statics: RenderStatics):
@@ -352,7 +366,8 @@ class Renderer:
                 return cast
 
             return self._cfg_wrap(
-                lambda params: _fn(self.packed, params, statics)
+                lambda params: _fn(self.packed, params, statics),
+                label="cast-count fn", statics=statics,
             )
 
         from shader_ray_tpu.ops.render import trace_rays

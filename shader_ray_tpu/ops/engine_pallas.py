@@ -31,8 +31,10 @@ import numpy as np
 
 from shader_ray_tpu.ops.pallas.envmxu import sample_env_mxu, sample_env_mxu_mip
 from shader_ray_tpu.ops.pallas.kernel_mega import (
+    UNI_CAM_NORMAL,
     UNI_CAM_ORIGIN,
     UNI_DIFFUSE,
+    UNI_IPW,
     UNI_LIGHT_DIR,
     UNI_NORMAL_INVERSE,
     UNI_NORMAL_MATRIX,
@@ -90,6 +92,11 @@ def _pack_uniforms(params: FrameParams) -> jnp.ndarray:
             params.camera_matrix, jnp.zeros(3, jnp.float32)
         ).reshape(-1)
     )
+    # camera direction matrix + image plane width (in-kernel raygen)
+    uni = uni.at[UNI_CAM_NORMAL : UNI_CAM_NORMAL + 9].set(
+        f32(params.camera_normal_matrix)[:3, :3].reshape(-1)
+    )
+    uni = uni.at[UNI_IPW].set(f32(params.image_plane_width))
     return uni
 
 
@@ -135,7 +142,7 @@ def _env_lookup(
 
 def _trace_rays_packet_fused(
     packed: PackedSceneWide,
-    rays: Rays,
+    rays: Rays | None,
     params: FrameParams,
     statics: RenderStatics,
     tile: int,
@@ -145,18 +152,25 @@ def _trace_rays_packet_fused(
     prefolded: bool,
     leaf_mode: str | None,
     shared_origin: bool = False,
+    raygen: tuple | None = None,
+    jitter: tuple | None = None,
+    num_rays: int | None = None,
 ):
     """Fused fast path: ONE pallas_call runs the whole bounce/shadow
     pipeline (ops/pallas/kernel_mega.py), then the env term and final
     combine happen here.  Numerically equivalent to the unfused loop
-    up to f32 op-order (see kernel_mega docstring)."""
+    up to f32 op-order (see kernel_mega docstring).
+
+    ``raygen`` (packed progressive): primary rays are generated INSIDE
+    the kernel from closed-form pixel coords + the ``jitter`` blocks —
+    ``rays`` is None and no superframe ray arrays exist."""
     with_grads = statics.which in (1, 2)
     res = packet_shade(
         packed,
-        rays.P,
-        rays.D,
-        rays.dDdx if with_grads else None,
-        rays.dDdy if with_grads else None,
+        None if raygen is not None else rays.P,
+        None if raygen is not None else rays.D,
+        rays.dDdx if with_grads and raygen is None else None,
+        rays.dDdy if with_grads and raygen is None else None,
         _pack_uniforms(params),
         tile=tile,
         max_steps=max_steps,
@@ -170,6 +184,9 @@ def _trace_rays_packet_fused(
         interpret=interpret,
         prefolded=prefolded,
         shared_origin=shared_origin,
+        raygen=raygen,
+        jitter=jitter,
+        num_rays=num_rays,
     )
     env = _env_lookup(
         packed, statics, res.D, res.gx, res.gy,
@@ -197,6 +214,9 @@ def trace_rays_packet(
     leaf_mode: str | None = None,
     fused: bool = False,
     shared_origin: bool = False,
+    raygen: tuple | None = None,
+    jitter: tuple | None = None,
+    num_rays: int | None = None,
 ) -> jnp.ndarray:
     """The 3-bounce trace loop over a full ray batch -> linear color.
 
@@ -215,7 +235,9 @@ def trace_rays_packet(
             packed, rays, params, statics, tile, interpret, max_steps,
             with_counts, prefolded, leaf_mode,
             shared_origin=shared_origin,
+            raygen=raygen, jitter=jitter, num_rays=num_rays,
         )
+    assert raygen is None, "in-kernel raygen needs the fused wide engine"
     R = rays.P.shape[0]
     f32 = jnp.float32
 
@@ -427,22 +449,28 @@ def _laned_pixel_coords_packed(H, W, bh, bw, tile0, fold, S):
 
 def _make_trace(packed, params, statics, tile, interpret, interleave,
                 max_steps, mesh, prefolded=False, leaf_mode=None,
-                fused=True, shared_origin=False):
+                fused=True, shared_origin=False, raygen=None,
+                num_rays=None):
     """Trace closure over a (R, 3)-column Rays batch; when ``mesh`` is
     given, shard the batch 1-D over its ``("rays",)`` axis with
     shard_map — scene tables and params replicated, zero collectives in
     the hot path (SURVEY.md 5.7-5.8; same layout as parallel/mesh.py's
-    wavefront path, applied to the production engine)."""
+    wavefront path, applied to the production engine).  With ``raygen``
+    the closure takes (None, (jx, jy)) instead of a Rays batch."""
 
-    def local(packed_, params_, rays_):
+    def local(packed_, params_, rays_, jitter_=None):
         return trace_rays_packet(
             packed_, rays_, params_, statics, tile, interpret, interleave,
             max_steps, prefolded=prefolded, leaf_mode=leaf_mode,
             fused=fused, shared_origin=shared_origin,
+            raygen=raygen if jitter_ is not None else None,
+            jitter=jitter_, num_rays=num_rays,
         )
 
     if mesh is None:
-        return lambda rays_: local(packed, params, rays_)
+        return lambda rays_, jitter_=None: local(
+            packed, params, rays_, jitter_
+        )
 
     import jax
     from jax.sharding import PartitionSpec as P
@@ -654,28 +682,111 @@ def render_progressive_packet(
     acc0 = jnp.zeros((H * W, 3) if laned else (H, W, 3), jnp.float32)
     if packed_ok:
         bh, bw = _block_dims(H, W, tile)
-        jj, ii, sidx = _laned_pixel_coords_packed(H, W, bh, bw, tile, FOLD, S)
         nt = (H * W) // tile
         C0 = tile // FOLD
+        # in-kernel raygen (kernel_mega raygen mode): the packed
+        # superframe's per-lane pixel coords are closed-form, so the
+        # kernel generates its own primary rays and the S*W*H-lane ray
+        # arrays (2.4 GB per field at S=256 on the bench frame) never
+        # materialize — the XLA glue shrinks to the two (FOLD, S*C0)
+        # jitter blocks.  Requires power-of-two block geometry (the
+        # kernel's div/mod lower to shifts/masks) and the fused wide
+        # engine.
+        p2 = lambda n: n > 0 and (n & (n - 1)) == 0
+        from shader_ray_tpu.config import get_config as _getcfg
+
+        use_kraygen = (
+            fused
+            and isinstance(packed, PackedSceneWide)
+            and _getcfg().kernel_raygen
+            and p2(C0)
+            and (p2(bh) and p2(bw) and p2(W // bw) if bh > 1 else p2(W))
+        )
+        # full fusion: env sampling + combine + jitter-copy reduction
+        # in-kernel too — the per-ray output buffers vanish (a single
+        # one crosses 2^31 bytes at S=256 and kills the TPU compile)
+        use_kfull = (
+            use_kraygen
+            and _getcfg().kernel_envfuse
+            and getattr(packed, "env_planes", None) is not None
+        )
+        if not use_kraygen:
+            jj, ii, _sidx = _laned_pixel_coords_packed(
+                H, W, bh, bw, tile, FOLD, S
+            )
         trace_batch = _make_trace(
             packed, params, inner, tile * S, interpret, interleave,
             max_steps, None, prefolded=True, leaf_mode=leaf_mode,
             fused=fused, shared_origin=True,
+            raygen=(W, H, bh, bw, C0) if use_kraygen else None,
+            num_rays=S * H * W,
         )
 
         def step_packed(acc, jit_s):  # jit_s: (S, 2) jitters
-            # per-lane jitter by copy index — a static select per copy,
-            # NOT a gather (axon rule 1)
-            jx = sum(
-                jnp.where(sidx == s, jit_s[s, 0], 0.0) for s in range(S)
-            )
-            jy = sum(
-                jnp.where(sidx == s, jit_s[s, 1], 0.0) for s in range(S)
-            )
-            rays, _ = rays_for_pixels(
-                inner, params._replace(pixel_jitter=None), jj + jy, ii + jx
-            )
-            color = trace_batch(rays)  # (S*H*W, 3) packed lane order
+            # per-lane jitter by copy index: the laned superframe viewed
+            # as (FOLD, nt, S, C0) varies its jitter copy only on axis
+            # 2, so a broadcast+reshape places each copy's jitter on its
+            # lanes with O(1) HLO ops.  (The old per-copy
+            # ``where(sidx == s, ...)`` chain emitted 2*S full-superframe
+            # selects — at S=256 that program crashed the remote XLA
+            # compile helper outright, the round-9 "256-deep fails to
+            # compile" verdict.)
+            if use_kraygen:
+                # per-TILE jitter blocks (every grid step identical):
+                # lane (f, s*C0 + c0) of every tile is jitter copy s
+                jxt = jnp.broadcast_to(
+                    jit_s[None, :, 0:1], (FOLD, S, C0)
+                ).reshape(FOLD, S * C0)
+                jyt = jnp.broadcast_to(
+                    jit_s[None, :, 1:2], (FOLD, S, C0)
+                ).reshape(FOLD, S * C0)
+                if use_kfull:
+                    res = packet_shade(
+                        packed, None, None, None, None,
+                        _pack_uniforms(params),
+                        tile=tile * S,
+                        max_steps=max_steps,
+                        mt_eps=inner.mt_eps,
+                        bounce_count=inner.bounce_count,
+                        cast_shadows=inner.cast_shadows,
+                        enable_diffuse=inner.enable_diffuse,
+                        surface_fudge=inner.surface_fudge,
+                        with_grads=inner.which in (1, 2),
+                        leaf_mode=leaf_mode or "scalar",
+                        interpret=interpret,
+                        prefolded=True,
+                        shared_origin=True,
+                        raygen=(W, H, bh, bw, C0),
+                        jitter=(jxt, jyt),
+                        num_rays=S * H * W,
+                        env_fuse=dict(
+                            planes=packed.env_planes,
+                            which=inner.which,
+                            aniso=getattr(inner, "env_aniso", 1),
+                        ),
+                    )
+                    OC = max(C0, 128)
+                    cs = res.colorsum  # (3*FOLD, nt*OC)
+                    colsum = (
+                        cs.reshape(3, FOLD, nt, OC // C0, C0)
+                        .sum(axis=3)          # fold residual copies
+                        .transpose(1, 2, 3, 0)
+                        .reshape(H * W, 3)    # laned pixel order
+                    )
+                    return acc + colsum, None
+                color = trace_batch(None, (jxt, jyt))
+            else:
+                jx = jnp.broadcast_to(
+                    jit_s[None, None, :, 0:1], (FOLD, nt, S, C0)
+                ).reshape(-1)
+                jy = jnp.broadcast_to(
+                    jit_s[None, None, :, 1:2], (FOLD, nt, S, C0)
+                ).reshape(-1)
+                rays, _ = rays_for_pixels(
+                    inner, params._replace(pixel_jitter=None),
+                    jj + jy, ii + jx,
+                )
+                color = trace_batch(rays)  # (S*H*W, 3) packed lane order
             colsum = (
                 color.reshape(FOLD, nt, S, C0, 3)
                 .sum(axis=2)

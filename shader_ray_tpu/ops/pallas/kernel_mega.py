@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from shader_ray_tpu.ops.pallas.kernel_body import INFINITELY_FAR, safe_inv
 from shader_ray_tpu.ops.pallas.kernel_wide import make_wide_walker
@@ -47,7 +48,10 @@ UNI_LIGHT_DIR = 30       # (3,) world light direction
 UNI_SPECULAR = 33        # (3,) specular color
 UNI_DIFFUSE = 36         # (3,) diffuse color
 UNI_CAM_ORIGIN = 39      # (3,) world camera position (shared_origin)
-UNI_SIZE = 42
+UNI_CAM_NORMAL = 42      # [:3,:3] row-major camera normal matrix
+                         # (eye->world directions; in-kernel raygen)
+UNI_IPW = 51             # () image plane width = 2*tan(fov/2)
+UNI_SIZE = 52
 
 
 def mega_kernel(
@@ -82,22 +86,52 @@ def mega_kernel(
     shared_origin: bool = False,
     leaf_scan: str = "ctz",
     min_contrib: float = 0.0,
+    act_all: bool = False,
+    raygen: tuple | None = None,
+    envfuse: dict | None = None,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
     F = fold
     C = tile // F
 
-    if with_grads:
-        (gx_ref, gy_ref, act_ref,
-         acc_ref, mod_ref, dout_ref, gxo_ref, gyo_ref, bad_ref, cnt_ref,
+    # raygen mode (packed progressive fast path): primary rays are
+    # GENERATED here from closed-form per-lane pixel coordinates —
+    # the equivalent of ops/render.rays_for_pixels (raytracer.vs:39-58,
+    # fs:621-625) evaluated per kernel lane — instead of arriving as
+    # HBM operands.  P_ref/D_ref then carry the tiny per-TILE jitter
+    # blocks (identical for every grid step), the gx/gy inputs vanish
+    # (differentials are seeded in-kernel), and the superframe's 2.4+
+    # GB/field ray arrays never exist.  ``raygen`` is the static tuple
+    # (W, H, bh, bw, C0) — every div/mod below is a power-of-two
+    # shift/mask (the caller guarantees it).
+    # envfuse mode (with raygen: the fully-fused frame kernel): the
+    # environment term, final combine, and the jitter-copy reduction
+    # all happen HERE — the per-ray acc/mod/D(+grad) outputs (2.4 GB
+    # each at S=256) are replaced by ONE per-pixel color-sum block per
+    # tile, and the separate env-sampler pallas_call disappears.
+    # ``envfuse`` is static: {n_levels, which, aniso, base=(H0, W0),
+    # out_lanes} — see packet_mega.packet_shade.
+    ins = list(rest)
+    if with_grads and raygen is None:
+        gx_ref, gy_ref = ins[0], ins[1]
+        ins = ins[2:]
+    if envfuse is not None:
+        eoff_ref, eh_ref, ew_ref, eblk_ref, planes_ref = ins[:5]
+        ins = ins[5:]
+    act_ref = ins[0]
+    if envfuse is not None:
+        (cs_ref, cnt_ref,
          stack_ref, leafbuf_ref, sems_ref, nodebuf_ref, nsems_ref,
-         lqueue_ref) = rest
+         lqueue_ref, win_ref, esems_ref) = ins[1:]
+    elif with_grads:
+        (acc_ref, mod_ref, dout_ref, gxo_ref, gyo_ref, bad_ref, cnt_ref,
+         stack_ref, leafbuf_ref, sems_ref, nodebuf_ref, nsems_ref,
+         lqueue_ref) = ins[1:]
     else:
-        (act_ref,
-         acc_ref, mod_ref, dout_ref, bad_ref, cnt_ref,
+        (acc_ref, mod_ref, dout_ref, bad_ref, cnt_ref,
          stack_ref, leafbuf_ref, sems_ref, nodebuf_ref, nsems_ref,
-         lqueue_ref) = rest
+         lqueue_ref) = ins[1:]
 
     walker = make_wide_walker(
         leaves_ref, boxes_ref, cmeta_ref, order_ref, masks_ref,
@@ -137,11 +171,80 @@ def mega_kernel(
         Pz = u(UNI_CAM_ORIGIN + 2)
     else:
         Px, Py, Pz = P_ref[0:F, :], P_ref[F : 2 * F, :], P_ref[2 * F :, :]
-    Dx, Dy, Dz = D_ref[0:F, :], D_ref[F : 2 * F, :], D_ref[2 * F :, :]
-    if with_grads:
-        gxx, gxy, gxz = gx_ref[0:F, :], gx_ref[F : 2 * F, :], gx_ref[2 * F :, :]
-        gyx, gyy, gyz = gy_ref[0:F, :], gy_ref[F : 2 * F, :], gy_ref[2 * F :, :]
-    act = act_ref[:, :] > 0
+    if raygen is not None:
+        assert shared_origin and act_all, (
+            "in-kernel raygen implies pinhole primaries from the "
+            "camera with every lane live"
+        )
+        Wd, Hd, bh, bw, C0 = raygen
+        shr = lambda x, d: jax.lax.shift_right_logical(
+            x, jnp.int32(d.bit_length() - 1)
+        )
+        mask = lambda x, d: jnp.bitwise_and(x, d - 1)
+        jxv = P_ref[:, :]  # (F, C) per-lane x jitter (tile-invariant)
+        jyv = D_ref[:, :]
+        t = pl.program_id(0)
+        ci = jax.lax.broadcasted_iota(i32, (F, C), 1)
+        fi = jax.lax.broadcasted_iota(i32, (F, C), 0)
+        # block-swizzled flat pixel index of this lane's pixel: the
+        # in-kernel mirror of engine_pallas._laned_pixel_coords_packed
+        s = (t * F + fi) * C0 + mask(ci, C0)
+        if bh > 1:
+            nbw = Wd // bw
+            b = shr(s, bh * bw)
+            p = mask(s, bh * bw)
+            pj = shr(b, nbw) * bh + shr(p, bw)
+            pi = mask(b, nbw) * bw + mask(p, bw)
+        else:
+            pj = shr(s, Wd)
+            pi = mask(s, Wd)
+        jf = pj.astype(f32)
+        iif = pi.astype(f32)
+        ipw = u(UNI_IPW)
+        aspect = float(Hd) / float(Wd)
+        # pinhole eye ray (raytracer.vs:39-58): normalize twice like
+        # the XLA path (d_eye, then the world direction — fs:619)
+        uu = (iif + 0.5 + jxv) * (1.0 / Wd)
+        vv = 1.0 - (jf + 0.5 + jyv) * (1.0 / Hd)
+        ex = ipw * (uu - 0.5)
+        ey = (ipw * aspect) * (vv - 0.5)
+        inv_e = 1.0 / jnp.sqrt(ex * ex + ey * ey + 1.0)
+        dex = ex * inv_e
+        dey = ey * inv_e
+        dez = -inv_e
+        cm = [u(UNI_CAM_NORMAL + i) for i in range(9)]
+        Dx = cm[0] * dex + cm[1] * dey + cm[2] * dez
+        Dy = cm[3] * dex + cm[4] * dey + cm[5] * dez
+        Dz = cm[6] * dex + cm[7] * dey + cm[8] * dez
+        inv_d = 1.0 / jnp.sqrt(Dx * Dx + Dy * Dy + Dz * Dz)
+        Dx, Dy, Dz = Dx * inv_d, Dy * inv_d, Dz * inv_d
+        if with_grads:
+            # seeded differentials (ray.cpp:677-683, fs:622-625):
+            # right/up are the camera matrix columns scaled by the
+            # per-pixel image-plane spacing — true scalars here
+            sx = ipw * (1.0 / Wd)
+            sy = (ipw * aspect) * (1.0 / Hd)
+            rx, ry, rz = cm[0] * sx, cm[3] * sx, cm[6] * sx
+            ux_, uy_, uz_ = cm[1] * sy, cm[4] * sy, cm[7] * sy
+            dr = Dx * rx + Dy * ry + Dz * rz
+            gxx, gxy, gxz = rx - dr * Dx, ry - dr * Dy, rz - dr * Dz
+            du_ = Dx * ux_ + Dy * uy_ + Dz * uz_
+            gyx, gyy, gyz = ux_ - du_ * Dx, uy_ - du_ * Dy, uz_ - du_ * Dz
+    else:
+        Dx, Dy, Dz = D_ref[0:F, :], D_ref[F : 2 * F, :], D_ref[2 * F :, :]
+        if with_grads:
+            gxx, gxy, gxz = (
+                gx_ref[0:F, :], gx_ref[F : 2 * F, :], gx_ref[2 * F :, :]
+            )
+            gyx, gyy, gyz = (
+                gy_ref[0:F, :], gy_ref[F : 2 * F, :], gy_ref[2 * F :, :]
+            )
+    # act_all: every lane is live (a full packed frame) — the mask is a
+    # compile-time constant and the act operand is a dummy (its 2.4 GB
+    # all-ones superframe array at S=256 was pure upload waste)
+    act = (
+        jnp.ones((F, C), bool) if act_all else act_ref[:, :] > 0
+    )
 
     zeros = jnp.zeros((F, C), f32)
     ones = jnp.ones((F, C), f32)
@@ -277,19 +380,113 @@ def mega_kernel(
                 | (mod[2] > min_contrib)
             )
 
-    acc_ref[0:F, :], acc_ref[F : 2 * F, :], acc_ref[2 * F :, :] = acc
-    mod_ref[0:F, :], mod_ref[F : 2 * F, :], mod_ref[2 * F :, :] = mod
-    dout_ref[0:F, :] = Dx
-    dout_ref[F : 2 * F, :] = Dy
-    dout_ref[2 * F :, :] = Dz
-    if with_grads:
-        gxo_ref[0:F, :] = gxx
-        gxo_ref[F : 2 * F, :] = gxy
-        gxo_ref[2 * F :, :] = gxz
-        gyo_ref[0:F, :] = gyx
-        gyo_ref[F : 2 * F, :] = gyy
-        gyo_ref[2 * F :, :] = gyz
-    bad_ref[:, :] = badv.astype(i32)
+    if envfuse is not None:
+        from shader_ray_tpu.ops.pallas.envwin import env_window_body
+        from shader_ray_tpu.ops.pallas.trig import (
+            PI_REF,
+            env_coords_kernel,
+        )
+
+        which = envfuse["which"]
+        n_levels = envfuse["n_levels"]
+        H0, W0 = (float(x) for x in envfuse["base"])
+        if which == 2:
+            # dY differential visualization (fs:147-149): pure math
+            denom_u = (2.0 * PI_REF) * (Dx * Dx + Dz * Dz)
+            denom_v = PI_REF * jnp.sqrt(
+                jnp.maximum(1.0 - Dy * Dy, 1e-12)
+            )
+            dudy = (Dx * gyz - Dz * gyx) / denom_u
+            dvdy = gyy / denom_v
+            er = jnp.abs(dudy) * 100.0
+            eg = jnp.abs(dvdy) * 100.0
+            eb = jnp.zeros((F, C), f32)
+        else:
+            uvc, vvc = env_coords_kernel(Dx, Dy, Dz)
+            if which == 1:
+                # textureGrad trilinear + GL-aniso probes: the same
+                # formulas as ops/envmap.env_derivatives /
+                # aniso_lod_and_probes, evaluated in-kernel
+                denom_u = (2.0 * PI_REF) * (Dx * Dx + Dz * Dz)
+                denom_v = PI_REF * jnp.sqrt(
+                    jnp.maximum(1.0 - Dy * Dy, 1e-12)
+                )
+                dudx = (Dx * gxz - Dz * gxx) / denom_u
+                dudy = (Dx * gyz - Dz * gyx) / denom_u
+                dvdx = gxy / denom_v
+                dvdy = gyy / denom_v
+                rho_x = jnp.sqrt((dudx * W0) ** 2 + (dvdx * H0) ** 2)
+                rho_y = jnp.sqrt((dudy * W0) ** 2 + (dvdy * H0) ** 2)
+                aniso = int(envfuse.get("aniso", 1))
+                if aniso > 1:
+                    use_x = rho_x >= rho_y
+                    rho_max = jnp.maximum(rho_x, rho_y)
+                    rho_min = jnp.minimum(rho_x, rho_y)
+                    n_eff = jnp.clip(
+                        rho_max / jnp.maximum(rho_min, 1e-12),
+                        1.0, float(aniso),
+                    )
+                    rho_eff = jnp.maximum(rho_min, rho_max / float(aniso))
+                    du_maj = jnp.where(use_x, dudx, dudy)
+                    dv_maj = jnp.where(use_x, dvdx, dvdy)
+                    spread = 1.0 - 1.0 / n_eff
+                    n_probes = envfuse.get("n_probes", 4)
+                    probes = []
+                    for i in range(n_probes):
+                        tt = ((i + 0.5) / n_probes - 0.5) * spread
+                        probes.append(
+                            (uvc + tt * du_maj, vvc + tt * dv_maj)
+                        )
+                else:
+                    rho_eff = jnp.maximum(rho_x, rho_y)
+                    probes = None
+                lod = jnp.clip(
+                    jnp.log2(jnp.maximum(rho_eff, 1e-12)),
+                    0.0, float(n_levels - 1),
+                )
+                er, eg, eb, _ = env_window_body(
+                    planes_ref, eoff_ref, eh_ref, ew_ref, eblk_ref,
+                    win_ref, esems_ref, uvc, vvc,
+                    n_levels=n_levels, fold=F, lanes=C,
+                    lod=lod, probes=probes,
+                )
+            else:
+                er, eg, eb, _ = env_window_body(
+                    planes_ref, eoff_ref, eh_ref, ew_ref, eblk_ref,
+                    win_ref, esems_ref, uvc, vvc,
+                    n_levels=n_levels, fold=F, lanes=C,
+                )
+        bad_colors = (1.0, 0.0, 0.0)
+        col = [
+            jnp.where(badv, bc, a + mo * e)
+            for a, mo, e, bc in zip(acc, mod, (er, eg, eb), bad_colors)
+        ]
+        # jitter-copy reduction: lanes [s*C0, (s+1)*C0) are copy s of
+        # the same C0 pixels — halve until out_lanes remain (stopping
+        # at >= 128 keeps every slice vector-register aligned; the XLA
+        # glue folds the last few copies of sub-128-lane blocks)
+        OC = int(envfuse["out_lanes"])
+        for cch in range(3):
+            x = col[cch]
+            w = C
+            while w > OC:
+                w //= 2
+                x = x[:, :w] + x[:, w : 2 * w]
+            cs_ref[cch * F : (cch + 1) * F, :] = x
+    else:
+        acc_ref[0:F, :], acc_ref[F : 2 * F, :], acc_ref[2 * F :, :] = acc
+        mod_ref[0:F, :], mod_ref[F : 2 * F, :], mod_ref[2 * F :, :] = mod
+        dout_ref[0:F, :] = Dx
+        dout_ref[F : 2 * F, :] = Dy
+        dout_ref[2 * F :, :] = Dz
+        if with_grads:
+            gxo_ref[0:F, :] = gxx
+            gxo_ref[F : 2 * F, :] = gxy
+            gxo_ref[2 * F :, :] = gxz
+            gyo_ref[0:F, :] = gyx
+            gyo_ref[F : 2 * F, :] = gyy
+            gyo_ref[2 * F :, :] = gyz
+        bad_ref[:, :] = badv.astype(i32)
 
     # per-tile counters, composed as a vector (scalar VMEM stores
     # unsupported): lane 0 = cast rays; lanes 1+2p / 2+2p = phase p's

@@ -34,6 +34,12 @@ class ShadeResult(NamedTuple):
     bad: jnp.ndarray          # (R,) bool walk-budget overflow
     cast: jnp.ndarray         # () i32 rays actually cast
     stats: jnp.ndarray        # (n_tiles, 1 + 2*n_phases) i32 per-tile
+    colorsum: jnp.ndarray | None = None  # env-fused mode only:
+                              # (3*FOLD, n_tiles*out_lanes) per-tile
+                              # FINAL color (env term + bad paint
+                              # applied in-kernel), summed over jitter
+                              # copies down to out_lanes lanes; the
+                              # per-ray fields above are None
                               # counters: col 0 cast; cols 1+2p / 2+2p
                               # = phase p's walk steps / leaf visits,
                               # in kernel phase order (bounce, then its
@@ -78,15 +84,40 @@ def packet_shade(
     pops: int | None = None,
     shared_origin: bool = False,
     min_contrib: float | None = None,
+    raygen: tuple | None = None,
+    jitter: tuple | None = None,
+    num_rays: int | None = None,
+    env_fuse: dict | None = None,
 ) -> ShadeResult:
     """Fused bounce pipeline over a world-space ray batch.
 
     P, D (and gx, gy when ``with_grads``): (R, 3) float32; ``uni`` is
     the (UNI_SIZE,) f32 frame-uniform table (kernel_mega layout).
-    ``tile`` must be a power-of-two multiple of 1024."""
+    ``tile`` must be a power-of-two multiple of 1024.
+
+    ``raygen`` = (W, H, bh, bw, C0): IN-KERNEL ray generation for a
+    jitter-packed progressive superframe — P/D/gx/gy are not read
+    (pass None) and ``jitter`` = (jx, jy) per-tile (FOLD, tile/FOLD)
+    f32 blocks supplies the per-copy sub-pixel jitter.  The caller
+    guarantees power-of-two block geometry and passes the superframe
+    lane count as ``num_rays``.
+
+    ``env_fuse`` = {"planes": EnvPlanes, "which": 0|1|2, "aniso": N}
+    (raygen mode only): the env term, combine, bad paint, and
+    jitter-copy reduction run in-kernel (kernel_mega envfuse) — the
+    result's per-ray fields are None and ``colorsum`` holds the
+    per-tile per-pixel color sums.  This removes the last
+    superframe-sized buffers: at S=256 a single (S*W*H, 3) output
+    exceeds 2^31 bytes and crashes the TPU compile helper, so deep
+    packing REQUIRES this mode."""
     assert tile % (FOLD * 128) == 0, "mega kernel tile must be a multiple of 1024"
     fold = FOLD
-    R = P.shape[0]
+    if raygen is not None:
+        assert prefolded and shared_origin and active is None
+        R = int(num_rays)
+        assert R % tile == 0
+    else:
+        R = P.shape[0]
     pad = 0 if prefolded else (-R) % tile
     if prefolded:
         assert R % tile == 0, "prefolded rays must divide the tile size"
@@ -117,20 +148,36 @@ def packet_shade(
         comps = [fold_in(x[:, c]) for c in range(3)]
         return jnp.concatenate(comps, axis=0)  # (3*FOLD, n_tiles*C)
 
-    Pt = prep(P)
-    Dt = prep(D, fill=1.0)
-    if with_grads:
-        gxt = prep(gx)
-        gyt = prep(gy)
-    if active is None:
-        actv = jnp.concatenate(
-            [jnp.ones((R,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
-        ) if pad else jnp.ones((Rp,), jnp.float32)
+    # operand diet (the packed-superframe arrays are S * W * H lanes —
+    # 2.4 GB each at S=256 on the bench frame): with shared_origin the
+    # kernel reads the camera origin from the uniform table and never
+    # touches P_ref, and with every lane live (a full frame, no pad,
+    # no mask) the act mask is a compile-time constant — both operands
+    # become tiny dummies with a constant block index.
+    act_all = active is None and pad == 0
+    if raygen is not None:
+        # P_ref/D_ref carry the tile-invariant jitter blocks
+        Pt, Dt = (jnp.asarray(j, jnp.float32) for j in jitter)
+        assert Pt.shape == (fold, C) and Dt.shape == (fold, C)
     else:
-        actv = jnp.asarray(active).astype(jnp.float32).reshape(R)
-        if pad:
-            actv = jnp.concatenate([actv, jnp.zeros((pad,), jnp.float32)])
-    actt = fold_in(actv)
+        Pt = (jnp.zeros((3 * fold, 128), jnp.float32) if shared_origin
+              else prep(P))
+        Dt = prep(D, fill=1.0)
+        if with_grads:
+            gxt = prep(gx)
+            gyt = prep(gy)
+    if act_all:
+        actt = jnp.ones((fold, 128), jnp.float32)
+    else:
+        if active is None:
+            actv = jnp.concatenate(
+                [jnp.ones((R,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+            ) if pad else jnp.ones((Rp,), jnp.float32)
+        else:
+            actv = jnp.asarray(active).astype(jnp.float32).reshape(R)
+            if pad:
+                actv = jnp.concatenate([actv, jnp.zeros((pad,), jnp.float32)])
+        actt = fold_in(actv)
 
     if max_steps is None:
         max_steps = scene.n_wide + 2
@@ -165,7 +212,23 @@ def packet_shade(
         shared_origin=shared_origin,
         leaf_scan=_default_leaf_scan(scene.node_src),
         min_contrib=min_contrib,
+        act_all=act_all,
+        raygen=raygen,
     )
+    envfuse_static = None
+    if env_fuse is not None:
+        assert raygen is not None, "env fusion rides the raygen path"
+        planes = env_fuse["planes"]
+        C0 = raygen[4]
+        out_lanes = max(C0, 128)
+        envfuse_static = dict(
+            n_levels=planes.n_levels,
+            which=int(env_fuse.get("which", 0)),
+            aniso=int(env_fuse.get("aniso", 1)),
+            base=tuple(planes.base),
+            out_lanes=out_lanes,
+        )
+        kernel = functools.partial(kernel, envfuse=envfuse_static)
 
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -186,57 +249,109 @@ def packet_shade(
         smem(scene.tribase_smem.shape),
         full(scene.nodes_vmem.shape),
         smem((UNI_SIZE,)),
-        rays(3 * fold),
-        rays(3 * fold),
+        full((fold, C)) if raygen is not None
+        else full((3 * fold, 128)) if shared_origin
+        else rays(3 * fold),
+        full((fold, C)) if raygen is not None else rays(3 * fold),
     ]
     operands = [
         scene.leaves, scene.boxes_smem, scene.cmeta_smem,
         scene.order_smem, scene.masks_smem, scene.tribase_smem,
         scene.nodes_vmem, uni, Pt, Dt,
     ]
-    if with_grads:
+    if with_grads and raygen is None:
         in_specs += [rays(3 * fold), rays(3 * fold)]
         operands += [gxt, gyt]
-    in_specs.append(rays(fold))
+    if env_fuse is not None:
+        in_specs += [
+            smem(planes.off_smem.shape),
+            smem(planes.h_smem.shape),
+            smem(planes.w_smem.shape),
+            smem(planes.blk_smem.shape),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        operands += [
+            planes.off_smem, planes.h_smem, planes.w_smem,
+            planes.blk_smem, planes.planes,
+        ]
+    in_specs.append(full((fold, 128)) if act_all else rays(fold))
     operands.append(actt)
 
-    vec3 = jax.ShapeDtypeStruct((3 * fold, Rp // fold), jnp.float32)
-    out_specs = [rays(3 * fold), rays(3 * fold), rays(3 * fold)]
-    out_shape = [vec3, vec3, vec3]
-    if with_grads:
-        out_specs += [rays(3 * fold), rays(3 * fold)]
-        out_shape += [vec3, vec3]
-    out_specs += [
-        rays(fold),
-        pl.BlockSpec((8, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
-    ]
-    out_shape += [
-        jax.ShapeDtypeStruct((fold, Rp // fold), jnp.int32),
-        jax.ShapeDtypeStruct((8, n_tiles * 128), jnp.int32),
-    ]
+    cnt_spec = pl.BlockSpec(
+        (8, 128), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    cnt_shape = jax.ShapeDtypeStruct((8, n_tiles * 128), jnp.int32)
+    if env_fuse is not None:
+        OC = envfuse_static["out_lanes"]
+        out_specs = [
+            pl.BlockSpec(
+                (3 * fold, OC), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            cnt_spec,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((3 * fold, n_tiles * OC), jnp.float32),
+            cnt_shape,
+        ]
+    else:
+        vec3 = jax.ShapeDtypeStruct((3 * fold, Rp // fold), jnp.float32)
+        out_specs = [rays(3 * fold), rays(3 * fold), rays(3 * fold)]
+        out_shape = [vec3, vec3, vec3]
+        if with_grads:
+            out_specs += [rays(3 * fold), rays(3 * fold)]
+            out_shape += [vec3, vec3]
+        out_specs += [rays(fold), cnt_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((fold, Rp // fold), jnp.int32),
+            cnt_shape,
+        ]
 
+    scratch_shapes = [
+        pltpu.SMEM((stack_depth,), jnp.int32),
+        # two 16-row leaf-group halves (dma2 double-buffer)
+        pltpu.SMEM((2 * 16, scene.leaves.shape[1]), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SMEM((pops * 8, 128), jnp.int32),
+        pltpu.SemaphoreType.DMA((pops,)),
+        # per-class hit-leaf meta queues (leaf_scan="queue")
+        pltpu.SMEM((3 * 8 * pops,), jnp.int32),
+    ]
     table_bytes = 4 * 128 * (scene.leaves.shape[0] + scene.nodes_vmem.shape[0])
-    vmem_limit = min(table_bytes + (8 << 20), 120 << 20)
+    env_allow = 0
+    if env_fuse is not None:
+        from shader_ray_tpu.ops.pallas.envwin import WIN_LANES, WIN_ROWS
+
+        grad_env = envfuse_static["which"] == 1
+        n_windows = 4 if grad_env else 2
+        scratch_shapes += [
+            pltpu.VMEM((WIN_ROWS, 3 * n_windows * WIN_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((3 * n_windows,)),
+        ]
+        # per-fold-row tent weights are (WIN_LANES, C) f32; the grad
+        # (4-window aniso) path scales ~4x (envwin's measured scoped
+        # accounting) — oversubscribed combos fail at compile time and
+        # the autotuner skips them
+        env_allow = (65536 if grad_env else 16384) * C
+    vmem_limit = min(table_bytes + (8 << 20) + env_allow, 126 << 20)
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((stack_depth,), jnp.int32),
-            # two 16-row leaf-group halves (dma2 double-buffer)
-            pltpu.SMEM((2 * 16, scene.leaves.shape[1]), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((pops * 8, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((pops,)),
-            # per-class hit-leaf meta queues (leaf_scan="queue")
-            pltpu.SMEM((3 * 8 * pops,), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(*operands)
 
+    n_phases_ = len(stats_phases(bounce_count, cast_shadows, enable_diffuse))
+    if env_fuse is not None:
+        cs, cnt = outs
+        per_tile = cnt[0].reshape(n_tiles, 128)[:, : 1 + 2 * n_phases_]
+        return ShadeResult(
+            acc=None, mod=None, D=None, gx=None, gy=None, bad=None,
+            cast=jnp.sum(per_tile[:, 0]), stats=per_tile, colorsum=cs,
+        )
     if with_grads:
         acc3, mod3, dout3, gxo3, gyo3, bad, cnt = outs
     else:

@@ -347,10 +347,15 @@ def autotune(
                     t = results[tag] / 1e3
                 else:
                     try:
-                        t = _time_candidate(
-                            renderer, _apply(base, knobs), statics, params,
-                            samples, frames,
-                        )
+                        # candidate failures are expected and handled —
+                        # no per-candidate kernel-failure dump
+                        from shader_ray_tpu.utils import kerneldiag
+
+                        with kerneldiag.suppress():
+                            t = _time_candidate(
+                                renderer, _apply(base, knobs), statics,
+                                params, samples, frames,
+                            )
                     except Exception as e:  # an invalid combo must not
                         # sink the search (e.g. no packed path for a mode)
                         failed.add(tag)

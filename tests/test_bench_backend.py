@@ -395,3 +395,48 @@ def test_compilation_cache_seeds_from_repo_store(tmp_path, monkeypatch):
         assert path == str(local)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_congested_then_wedged_resumes_probing(monkeypatch, capsys):
+    """The congested path's mid-dispatch kill can wedge the tunnel
+    (axon rule 3).  After settling, one quick re-probe must confirm
+    the tunnel still answers; if it stops answering (plain timeout),
+    the bench resumes the probe loop instead of walking into an
+    unrecoverable in-process ``import jax`` (ADVICE r3)."""
+    monkeypatch.setenv("BENCH_WAIT_S", "900")
+    calls = []
+
+    def probe(code, budget):
+        calls.append(budget)
+        if len(calls) == 1:
+            return False, "congested: devices up, dispatch > 60s"
+        if len(calls) == 2:
+            return False, "timed out (45s)"  # post-settle: wedged
+        return True, ""  # loop resumed; tunnel recovered
+
+    monkeypatch.setattr(bench, "_run_probe", probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench._wait_for_backend()
+    err = capsys.readouterr().err
+    assert "resuming" in err
+    assert len(calls) == 3  # congested, wedge-check, recovery
+
+
+def test_probe_budget_clamps_to_remaining_deadline(monkeypatch):
+    """A probe launched near the deadline gets the ACTUAL remaining
+    time (>= 5 s floor), not a 30 s overrun (ADVICE r3)."""
+    monkeypatch.setenv("BENCH_WAIT_S", "20")
+    budgets = []
+
+    def probe(code, budget):
+        budgets.append(budget)
+        return False, "timed out"
+
+    monkeypatch.setattr(bench, "_run_probe", probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(
+        bench, "_emit_backend_down",
+        lambda *a, **k: (_ for _ in ()).throw(SystemExit(2)))
+    with pytest.raises(SystemExit):
+        bench._wait_for_backend()
+    assert all(b <= 20.0 + 1e-6 for b in budgets)

@@ -183,3 +183,52 @@ def test_jitter_pack_matches_sequential():
         )
     )
     np.testing.assert_allclose(got, seq16, atol=2e-3, err_msg="S=16,block=64")
+
+
+def test_kernel_raygen_matches_xla_raygen():
+    """In-kernel primary-ray generation (kernel_mega raygen mode: the
+    packed progressive path generates rays from closed-form pixel
+    coords inside the megakernel, rays_for_pixels semantics) matches
+    the XLA-raygen path per debug mode, up to f32 op order.  The
+    superframe ray arrays never materialize on the raygen path — the
+    round-9 "256-deep fails to compile" fix."""
+    import jax.numpy as jnp
+
+    from shader_ray_tpu import config as cfgmod
+    from shader_ray_tpu.models.fixtures import bunny_class_scene
+    from shader_ray_tpu.ops.engine_pallas import render_progressive_packet
+    from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+    from shader_ray_tpu.ops.render import RenderStatics, default_frame_params
+    from shader_ray_tpu.utils import mat4
+
+    pos, _ = bunny_class_scene(600)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    packed = pack_scene_wide(data, procedural_sky(64))
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0, 0, 4.0).astype(np.float32)
+        ),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.2, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.05, 0.05, 0.05], np.float32)),
+    )
+    jitters = jnp.asarray(
+        [[0.1, -0.2], [-0.3, 0.25], [0.05, 0.4], [-0.15, -0.1]], jnp.float32
+    )
+    for which in (0, 1, 2):
+        statics = RenderStatics(
+            width=64, height=64, tile_size=1024, which=which,
+            env_aniso=4 if which == 1 else 1,
+        )
+        outs = {}
+        for kr in (False, True):
+            cfg = cfgmod.Config()
+            cfg.kernel_raygen = kr
+            with cfgmod.use_config(cfg):
+                outs[kr] = np.asarray(render_progressive_packet(
+                    packed, params, statics, jitters,
+                    tile=256, interpret=True, jitter_pack=4,
+                ))
+        np.testing.assert_allclose(
+            outs[True], outs[False], atol=2e-3,
+            err_msg=f"which={which}",
+        )
