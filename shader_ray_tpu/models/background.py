@@ -178,6 +178,13 @@ def load_background(spec: str) -> np.ndarray:
             from shader_ray_tpu.models.ldr import read_tga
 
             return read_tga(spec).astype(np.float32) / 255.0
+        if ext in ("jpg", "jpeg", "jfif"):
+            # baseline sequential only (covers the reference's own
+            # golden assets, ray.cpp:1035-1074); progressive falls
+            # through to PIL
+            from shader_ray_tpu.utils.jpeg import read_jpeg
+
+            return read_jpeg(spec).astype(np.float32) / 255.0
     except (ValueError, AssertionError) as e:
         native_err = e
     try:
