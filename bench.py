@@ -40,12 +40,14 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "5"))
 # batch (the REPL's `prog N`) renders N jittered frames in ONE device
 # dispatch, amortizing the ~40 ms axon host round-trip that otherwise
 # dominates a 1024x768 frame.  BENCH_BATCH=1 times bare single frames.
-# Default 128 = the round-9 measured best: batch 128 unlocks 128-deep
-# jitter packing (scripts/probe_pack128.py: 8.45 ms amortized vs 9.68
-# at 64-deep, K=128) — the packing frontier turns over past that
-# (256-deep 10.33).  Round 6's "128 ruled out" predates deep packing
-# (it measured batch growth alone at S=2).
-BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+# Default 1024 admits the measured deep jitter-packing optimum the
+# fully fused kernel unlocked (round 12: per-ray HBM buffers crossed
+# 2^31 bytes at S=256 and killed the compile; with raygen+env
+# in-kernel, bunny measured 4.90 ms at 1024@8 vs 8.37 at the old
+# 128-deep best, terrain 11.22 vs 22.78; 2048-deep turns over).  The
+# round-9 "frontier turns over past 128" verdict was an artifact of
+# that buffer wall, not of packing itself.
+BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 TARGET_MRAYS = 200.0
 
 
@@ -481,7 +483,7 @@ def _maybe_tune(renderer, statics, params, scene_key) -> None:
     if not hasattr(renderer, "_pretune_cfg"):
         renderer._pretune_cfg = copy.copy(renderer.cfg)
     renderer.cfg = copy.copy(renderer._pretune_cfg)
-    samples = min(BATCH, 128)
+    samples = min(BATCH, 1024)
     if mode != "1":
         best = load_tuned(scene_key, statics, samples)
         if best:
@@ -489,7 +491,10 @@ def _maybe_tune(renderer, statics, params, scene_key) -> None:
             for k, v in best.items():
                 setattr(renderer.cfg, k, v)
         return
-    autotune(renderer, statics, params, samples=samples, key=scene_key)
+    # frames=2: at the 1024-sample batch each measuring dispatch is
+    # 5-50 s, so per-dispatch timing noise is far below the knob deltas
+    autotune(renderer, statics, params, samples=samples, frames=2,
+             key=scene_key)
 
 
 def _time_progressive(renderer, statics, params, batch=None, frames=3) -> dict:
@@ -497,7 +502,7 @@ def _time_progressive(renderer, statics, params, batch=None, frames=3) -> dict:
     methodology as the headline), as a nested metric dict."""
     # match the tune's sample count (a smaller batch would silently
     # degrade a deep jitter_pack winner to the largest divisor)
-    batch = batch or min(BATCH, 128)
+    batch = batch or min(BATCH, 1024)
     pfn = renderer.make_progressive_fn(statics, batch, reduce_sum=True)
     if pfn is None:
         raise RuntimeError("no device-batched progressive path")

@@ -61,15 +61,29 @@ DEFAULT_SPACE: list[list[dict]] = [
     # coherent bunny, so the tile-64 variants stay as candidates for
     # the divergent scenes, where smaller pixel blocks kept winning at
     # every depth.
+    # Round-12 frontier (fully-fused kernel, see kernel_mega envfuse):
+    # the per-ray HBM buffers that capped packing at 128-deep are gone,
+    # and the measured optimum moved to DEEP x SMALL — terrain 13.46 ms
+    # at 512@16 (vs 22.78 at the old 128@64 best), bunny probes favor
+    # 128-512 deep at blocks 32-128.  Candidates above 128-deep need a
+    # matching BENCH_BATCH (512 default); smaller batches degrade to
+    # the largest divisor.
+    # Measured round 12 (winner knobs, K=S): bunny 128@128 6.92 /
+    # 256@32 5.53 / 512@16 5.22 / 1024@8 4.90 / 2048@8 5.41 (turnover);
+    # terrain 256@32 17.13 / 512@16 13.46 / 1024@8 11.22 / 2048@8
+    # 12.03; 340k 512@16 7.48 / 1024@8 6.86; which1 512@16 13.47 /
+    # 1024@8 13.82.  The pruned list keeps the 1024@8 optimum, its
+    # neighbors, and the shallow baseline.
+    # NOTE the shallow {2, 2048} baseline is gone: at the 1024-sample
+    # tune batch a single measuring dispatch of a ~190 ms/frame
+    # untuned terrain candidate costs >3 min — {128, 128} (within 25%
+    # of every scene's old record) is the safety floor instead.
     [
-        {"jitter_pack": 2, "prog_tile": 2048},
-        {"jitter_pack": 32, "prog_tile": 256},
-        {"jitter_pack": 32, "prog_tile": 128},
-        {"jitter_pack": 64, "prog_tile": 256},
-        {"jitter_pack": 64, "prog_tile": 128},
-        {"jitter_pack": 64, "prog_tile": 64},
         {"jitter_pack": 128, "prog_tile": 128},
-        {"jitter_pack": 128, "prog_tile": 64},
+        {"jitter_pack": 256, "prog_tile": 32},
+        {"jitter_pack": 512, "prog_tile": 16},
+        {"jitter_pack": 1024, "prog_tile": 16},
+        {"jitter_pack": 1024, "prog_tile": 8},
     ],
     # hit-leaf iteration ("" = auto: queue on the VMEM node tier)
     [

@@ -28,6 +28,10 @@ from shader_ray_tpu.ops.render import (
 from shader_ray_tpu.ops.scene import upload_scene
 from shader_ray_tpu.utils import mat4
 
+# Pallas-interpreter heavyweights: skipped at nproc=1 (conftest heavy
+# tier, VERDICT r3 #3); xdist-parallel hosts and --full run them.
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def sphere():

@@ -43,6 +43,7 @@ def test_progressive_reduces_edge_variance(app):
     assert d_816 <= d_28 + 1e-6
 
 
+@pytest.mark.heavy
 def test_device_batched_progressive_matches_host_loop():
     """render_progressive_packet (one-dispatch scan) == averaging the
     same jittered frames host-side, packet engine, interpret mode."""
@@ -99,6 +100,7 @@ def test_device_batched_progressive_matches_host_loop():
     np.testing.assert_allclose(got, ref, atol=1e-3)
 
 
+@pytest.mark.heavy
 def test_jitter_pack_matches_sequential():
     """jitter_pack=S (S jitter samples of the same pixel block packed
     per kernel tile — the progressive batch's walk/leaf amortization)
@@ -185,6 +187,7 @@ def test_jitter_pack_matches_sequential():
     np.testing.assert_allclose(got, seq16, atol=2e-3, err_msg="S=16,block=64")
 
 
+@pytest.mark.heavy
 def test_kernel_raygen_matches_xla_raygen():
     """In-kernel primary-ray generation (kernel_mega raygen mode: the
     packed progressive path generates rays from closed-form pixel
@@ -215,8 +218,9 @@ def test_kernel_raygen_matches_xla_raygen():
         [[0.1, -0.2], [-0.3, 0.25], [0.05, 0.4], [-0.15, -0.1]], jnp.float32
     )
     for which in (0, 1, 2):
+        # 64x32 halves the interpreter's eager per-tile execution
         statics = RenderStatics(
-            width=64, height=64, tile_size=1024, which=which,
+            width=64, height=32, tile_size=1024, which=which,
             env_aniso=4 if which == 1 else 1,
         )
         outs = {}
