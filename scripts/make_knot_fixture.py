@@ -94,7 +94,7 @@ def render_golden():
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from shader_ray_tpu.models.background import grid_image
+    from shader_ray_tpu.models.fixtures import procedural_sky
     from shader_ray_tpu.models.obj import parse_obj
     from shader_ray_tpu.models.world import get_shader_data, make_world
     from shader_ray_tpu.ops.render import (
@@ -118,7 +118,7 @@ def render_golden():
         diffuse_color=jnp.asarray(np.array([0.6, 0.5, 0.3], np.float32)),
         specular_color=jnp.asarray(np.array([0.08, 0.08, 0.08], np.float32)),
     )
-    scene = upload_scene(data, grid_image(512).astype(np.float32))
+    scene = upload_scene(data, procedural_sky(512))
     img = np.asarray(render_frame(scene, params, statics))
     np.save(GOLD, img.astype(np.float32))
     print("golden:", img.shape, float(img.mean()), float(img.std()))

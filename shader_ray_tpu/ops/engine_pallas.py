@@ -505,6 +505,76 @@ def _make_trace(packed, params, statics, tile, interpret, interleave,
     return trace
 
 
+def _kraygen_ok(packed, W, bh, bw, C0, fused, envfuse=False) -> bool:
+    """Static eligibility for in-kernel raygen (+ env fusion): fused
+    wide engine, config knobs on, power-of-two block geometry (the
+    kernel's pixel-decode div/mod lower to shifts/masks), and — for
+    env fusion — a packed plane pyramid to sample from."""
+    from shader_ray_tpu.config import get_config
+
+    p2 = lambda n: n > 0 and (n & (n - 1)) == 0
+    cfg = get_config()
+    ok = (
+        fused
+        and isinstance(packed, PackedSceneWide)
+        and cfg.kernel_raygen
+        and p2(C0)
+        and (p2(bh) and p2(bw) and p2(W // bw) if bh > 1 else p2(W))
+    )
+    if not envfuse:
+        return ok
+    return (
+        ok
+        and cfg.kernel_envfuse
+        and getattr(packed, "env_planes", None) is not None
+    )
+
+
+def _fused_frame_color(
+    packed, params, statics, tile0, S, jxt, jyt,
+    *, bh, bw, interpret, max_steps, leaf_mode,
+):
+    """One fully-fused (raygen + walk + shade + env in ONE pallas_call)
+    superframe of S jitter copies: returns the (H*W, 3) laned per-pixel
+    LINEAR color SUMS over the copies (divide by S for the mean; S=1 is
+    a plain frame).  ``jxt``/``jyt`` are the (FOLD, S*C0) per-tile
+    jitter blocks."""
+    W, H = statics.width, statics.height
+    C0 = tile0 // FOLD
+    nt = (H * W) // tile0
+    res = packet_shade(
+        packed, None, None, None, None,
+        _pack_uniforms(params),
+        tile=tile0 * S,
+        max_steps=max_steps,
+        mt_eps=statics.mt_eps,
+        bounce_count=statics.bounce_count,
+        cast_shadows=statics.cast_shadows,
+        enable_diffuse=statics.enable_diffuse,
+        surface_fudge=statics.surface_fudge,
+        with_grads=statics.which in (1, 2),
+        leaf_mode=leaf_mode or "scalar",
+        interpret=interpret,
+        prefolded=True,
+        shared_origin=True,
+        raygen=(W, H, bh, bw, C0),
+        jitter=(jxt, jyt),
+        num_rays=S * H * W,
+        env_fuse=dict(
+            planes=packed.env_planes,
+            which=statics.which,
+            aniso=getattr(statics, "env_aniso", 1),
+        ),
+    )
+    OC = max(C0, 128)
+    return (
+        res.colorsum.reshape(3, FOLD, nt, OC // C0, C0)
+        .sum(axis=3)          # fold residual copies (sub-128 blocks)
+        .transpose(1, 2, 3, 0)
+        .reshape(H * W, 3)    # laned pixel order
+    )
+
+
 def render_frame_packet(
     packed: PackedScene,
     params: FrameParams,
@@ -532,6 +602,40 @@ def render_frame_packet(
     # with FOLD sublanes (tile multiple of 1024 — the binary engine
     # folds differently for smaller tiles).
     prefolded = _prefold_ok(statics, tile, mesh)
+    # fully-fused single-frame fast path (raygen + env in-kernel, S=1):
+    # the interactive/REPL dispatch gets the same kernel as the packed
+    # progressive batches — no superframe ray arrays, no separate env
+    # pallas_call, one kernel per frame
+    if (
+        statics.which in (0, 1, 2)
+        and prefolded
+        and _kraygen_ok(packed, W, bh, bw, tile // FOLD, fused,
+                        envfuse=True)
+    ):
+        C0 = tile // FOLD
+        jx = (params.pixel_jitter[0] if params.pixel_jitter is not None
+              else jnp.float32(0.0))
+        jy = (params.pixel_jitter[1] if params.pixel_jitter is not None
+              else jnp.float32(0.0))
+        jxt = jnp.broadcast_to(
+            jnp.asarray(jx, jnp.float32), (FOLD, C0)
+        )
+        jyt = jnp.broadcast_to(
+            jnp.asarray(jy, jnp.float32), (FOLD, C0)
+        )
+        color = _fused_frame_color(
+            packed, params._replace(pixel_jitter=None), statics, tile, 1,
+            jxt, jyt, bh=bh, bw=bw, interpret=interpret,
+            max_steps=max_steps, leaf_mode=leaf_mode,
+        )
+        if _laned_out:
+            return color
+        color = _lane_unfold_perm(color, tile, FOLD)
+        if bh > 1:
+            color = _unswizzle(color, H, W, bh, bw)
+        if statics.do_tonemap:
+            color = tonemap_and_gamma(color, statics.use_filmic)
+        return color.reshape(H, W, 3)
     if prefolded:
         jj, ii = _laned_pixel_coords(H, W, bh, bw, tile, FOLD)
         rays, _ = rays_for_pixels(statics, params, jj, ii)
@@ -692,24 +796,12 @@ def render_progressive_packet(
         # jitter blocks.  Requires power-of-two block geometry (the
         # kernel's div/mod lower to shifts/masks) and the fused wide
         # engine.
-        p2 = lambda n: n > 0 and (n & (n - 1)) == 0
-        from shader_ray_tpu.config import get_config as _getcfg
-
-        use_kraygen = (
-            fused
-            and isinstance(packed, PackedSceneWide)
-            and _getcfg().kernel_raygen
-            and p2(C0)
-            and (p2(bh) and p2(bw) and p2(W // bw) if bh > 1 else p2(W))
-        )
+        use_kraygen = _kraygen_ok(packed, W, bh, bw, C0, fused)
         # full fusion: env sampling + combine + jitter-copy reduction
         # in-kernel too — the per-ray output buffers vanish (a single
         # one crosses 2^31 bytes at S=256 and kills the TPU compile)
-        use_kfull = (
-            use_kraygen
-            and _getcfg().kernel_envfuse
-            and getattr(packed, "env_planes", None) is not None
-        )
+        use_kfull = _kraygen_ok(packed, W, bh, bw, C0, fused,
+                                envfuse=True)
         if not use_kraygen:
             jj, ii, _sidx = _laned_pixel_coords_packed(
                 H, W, bh, bw, tile, FOLD, S
@@ -741,37 +833,10 @@ def render_progressive_packet(
                     jit_s[None, :, 1:2], (FOLD, S, C0)
                 ).reshape(FOLD, S * C0)
                 if use_kfull:
-                    res = packet_shade(
-                        packed, None, None, None, None,
-                        _pack_uniforms(params),
-                        tile=tile * S,
-                        max_steps=max_steps,
-                        mt_eps=inner.mt_eps,
-                        bounce_count=inner.bounce_count,
-                        cast_shadows=inner.cast_shadows,
-                        enable_diffuse=inner.enable_diffuse,
-                        surface_fudge=inner.surface_fudge,
-                        with_grads=inner.which in (1, 2),
-                        leaf_mode=leaf_mode or "scalar",
-                        interpret=interpret,
-                        prefolded=True,
-                        shared_origin=True,
-                        raygen=(W, H, bh, bw, C0),
-                        jitter=(jxt, jyt),
-                        num_rays=S * H * W,
-                        env_fuse=dict(
-                            planes=packed.env_planes,
-                            which=inner.which,
-                            aniso=getattr(inner, "env_aniso", 1),
-                        ),
-                    )
-                    OC = max(C0, 128)
-                    cs = res.colorsum  # (3*FOLD, nt*OC)
-                    colsum = (
-                        cs.reshape(3, FOLD, nt, OC // C0, C0)
-                        .sum(axis=3)          # fold residual copies
-                        .transpose(1, 2, 3, 0)
-                        .reshape(H * W, 3)    # laned pixel order
+                    colsum = _fused_frame_color(
+                        packed, params, inner, tile, S, jxt, jyt,
+                        bh=bh, bw=bw, interpret=interpret,
+                        max_steps=max_steps, leaf_mode=leaf_mode,
                     )
                     return acc + colsum, None
                 color = trace_batch(None, (jxt, jyt))

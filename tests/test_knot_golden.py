@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from shader_ray_tpu.models.background import grid_image
+from shader_ray_tpu.models.fixtures import procedural_sky
 from shader_ray_tpu.models.obj import parse_obj, parse_obj_text
 from shader_ray_tpu.models.world import get_shader_data, make_world
 from shader_ray_tpu.ops.render import (
@@ -68,7 +68,7 @@ def test_loaders_agree_on_asset():
 
 def test_wavefront_matches_committed_golden(setup):
     data, statics, params = setup
-    scene = upload_scene(data, grid_image(512).astype(np.float32))
+    scene = upload_scene(data, procedural_sky(512))
     img = np.asarray(render_frame(scene, params, statics))
     golden = np.load(GOLD)
     np.testing.assert_allclose(img, golden, atol=2e-3)
@@ -79,7 +79,7 @@ def test_scene_has_real_occlusion(setup):
     pixels (the bench blob is near-convex — this fixture is the
     shadow-path coverage the sphere never gave)."""
     data, statics, params = setup
-    scene = upload_scene(data, grid_image(512).astype(np.float32))
+    scene = upload_scene(data, procedural_sky(512))
     on = np.asarray(render_frame(scene, params, statics))
     off = np.asarray(
         render_frame(scene, params, statics._replace(cast_shadows=False))
@@ -95,7 +95,7 @@ def test_packet_engine_matches_golden(setup):
 
     data, statics, params = setup
     packed = pack_scene_wide(
-        data, grid_image(512).astype(np.float32), env_size=(256, 512)
+        data, procedural_sky(512), env_size=(256, 512)
     )
     img = np.asarray(
         render_frame_packet(packed, params, statics, tile=1024,
