@@ -53,6 +53,11 @@ def _kernel_frames(exc: BaseException) -> list[str]:
 
 # (substring of the error text, actionable hint) — first match wins
 _HINTS = [
+    ("tpu_compile_helper", "remote compile-helper crash: known causes "
+     "are a single buffer over 2^31 bytes (superframe per-ray arrays "
+     "at deep jitter_pack — use the fused raygen+envfuse path, which "
+     "has none) and ~128 MB scoped-VMEM kernels (grad env at lane "
+     "width 2048: shrink jitter_pack * prog_tile).  See ROUND12.md."),
     ("vmem", "VMEM oversubscription: shrink the kernel tile "
              "(jitter_pack * prog_tile lanes) or ray_tile, or use "
              "leaf_mode=dma2 so leaf records stay out of vector memory"),

@@ -80,3 +80,13 @@ def test_suppress_scope(sphere_data, capsys):
     assert "kernel failure" not in capsys.readouterr().err
     kerneldiag.report_failure(RuntimeError("boom"))
     assert "kernel failure" in capsys.readouterr().err
+
+
+def test_compile_helper_crash_hint():
+    msg = kerneldiag.describe_failure(
+        RuntimeError(
+            "INTERNAL: http://127.0.0.1:8103/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit code 1"
+        )
+    )
+    assert "2^31" in msg  # the deep-packing buffer-wall diagnosis

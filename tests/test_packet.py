@@ -24,6 +24,10 @@ from shader_ray_tpu.ops.scene import upload_scene
 from shader_ray_tpu.ops.traversal import traverse
 from shader_ray_tpu.utils import mat4
 
+# binary-engine interpreter A/B: heavy tier (skipped at nproc=1;
+# the production wide engine keeps default-lane coverage)
+pytestmark = pytest.mark.heavy
+
 
 @pytest.fixture(scope="module")
 def sphere():

@@ -67,6 +67,7 @@ def test_nondivisible_ray_count(sphere_scene):
 
 
 @pytest.mark.parametrize("n_dev", [1, 2, 4])
+@pytest.mark.heavy
 def test_packet_shard_count_invariance(n_dev):
     """The PRODUCTION (wide packet) engine must render the same frame
     on 1 device and sharded over N (VERDICT r1 next #3)."""
@@ -89,10 +90,17 @@ def test_packet_shard_count_invariance(n_dev):
     fn = make_packet_render_fn(
         packed, statics, tile=1024, interpret=True, mesh=mesh
     )
-    np.testing.assert_array_equal(np.asarray(fn(params)), baseline)
+    # tolerance, not bit-equality: the single-device frame runs the
+    # fully-fused kernel (in-kernel raygen + env, round 12) while the
+    # sharded path keeps XLA raygen + the standalone env call (shard
+    # slicing needs pixel order) — same math, different f32 op order
+    np.testing.assert_allclose(
+        np.asarray(fn(params)), baseline, atol=2e-6
+    )
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.heavy
 def test_sample_sharded_progressive_matches_single(n_dev):
     """Progressive batches shard the SAMPLE axis over the mesh (each
     device renders K/n full frames on the fast laned path; one pmean
@@ -129,6 +137,7 @@ def test_sample_sharded_progressive_matches_single(n_dev):
     assert np.isfinite(s) and abs(s - float(base.sum())) < 1e-2
 
 
+@pytest.mark.heavy
 def test_sample_sharded_weak_scaling_device_invariance():
     """VERDICT r2 #6: the sample-parallel progressive path must produce
     the same frame for K samples whatever the device count (1 vs 2 vs
