@@ -40,6 +40,8 @@ index fine; the practical bound is VMEM capacity for the leaf table.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -72,7 +74,8 @@ class PackedSceneWide:
                  n_wide: int, leaf_count: int, tri_count: int,
                  node_count: int, stack_depth: int, box_quant: tuple,
                  env_atlas_base: tuple = (512, 1024), max_count: int = 10,
-                 node_src: str = "smem", isect: str = "mt"):
+                 node_src: str = "smem", isect: str = "mt",
+                 leaf_src: str = "vmem"):
         self.leaves = leaves              # (groups*16, 126) f32 VMEM
         self.boxes_smem = boxes_smem      # ((Nw*8)*3,) i32
         self.cmeta_smem = cmeta_smem      # (Nw*8,) i32
@@ -98,6 +101,12 @@ class PackedSceneWide:
         self.max_count = int(max_count)
         self.node_src = str(node_src)  # "smem" | "vmem"
         self.isect = str(isect)        # leaf record format (pack.leaf_layout)
+        # MILLION-triangle tier: "hbm" leaves the leaf table in device
+        # memory (pl.ANY) and the kernel's double-buffered group DMA
+        # (leaf_mode=dma2, the only compatible mode — scalar/dmastatic
+        # read leaves as vectors) pulls 16-row groups on demand — the
+        # scene size bound becomes HBM, not the 128 MB VMEM
+        self.leaf_src = str(leaf_src)  # "vmem" | "hbm"
         # full-res windowed env plane pyramid (envwin.EnvPlanes) or
         # None for the dense-only path
         self.env_planes = env_planes
@@ -110,7 +119,7 @@ class PackedSceneWide:
         aux = (self.n_wide, self.leaf_count, self.tri_count,
                self.node_count, self.stack_depth, self.box_quant,
                self.env_atlas_base, self.max_count, self.node_src,
-               self.isect)
+               self.isect, self.leaf_src)
         return leaves, aux
 
     @classmethod
@@ -326,6 +335,7 @@ def pack_scene_wide(
     isect: str | None = None,
     env_mode: str | None = None,
     env_base: int | None = None,
+    leaf_src: str | None = None,
 ) -> PackedSceneWide:
     """Build wide packet tables from flattened SceneData (host).
 
@@ -424,6 +434,16 @@ def pack_scene_wide(
         smem_bytes = 4 * (Nw * (24 + 8 + 8 + 1) + L)
         node_src = "smem" if smem_bytes < 800_000 else "vmem"
     assert node_src in ("smem", "vmem"), node_src
+    if leaf_src is None:
+        leaf_src = os.environ.get("SRT_LEAF_SRC", "")
+    if not leaf_src:
+        # VMEM-resident leaves (lanes padded to 128) must share the
+        # 128 MB VMEM with node rows, ray tiles, and env windows;
+        # past ~64 MB the table moves to HBM and the dma2 group
+        # double-buffer hides the longer copy latency
+        leaf_src = "vmem" if 4 * 128 * leaves.shape[0] < (64 << 20) \
+            else "hbm"
+    assert leaf_src in ("vmem", "hbm"), leaf_src
 
     to_u32 = lambda a: a.astype(np.uint32).view(np.int32)
     as_i32 = lambda a: jnp.asarray(
@@ -478,4 +498,5 @@ def pack_scene_wide(
         node_src=node_src,
         isect=isect,
         env_planes=env_planes,
+        leaf_src=leaf_src,
     )

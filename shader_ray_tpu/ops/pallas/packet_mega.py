@@ -181,6 +181,11 @@ def packet_shade(
 
     if max_steps is None:
         max_steps = scene.n_wide + 2
+    leaf_hbm = getattr(scene, "leaf_src", "vmem") == "hbm"
+    if leaf_hbm and leaf_mode != "dma2":
+        # HBM-resident leaves are reachable only via the group DMA
+        # (scalar/dmastatic read the table as vectors = VMEM-only)
+        leaf_mode = "dma2"
     pops = pops if pops is not None else _default_pops()
     if min_contrib is None:
         from shader_ray_tpu.config import get_config
@@ -241,12 +246,13 @@ def packet_shade(
     )
 
     in_specs = [
-        full(scene.leaves.shape),
+        pl.BlockSpec(memory_space=pl.ANY) if leaf_hbm
+        else full(scene.leaves.shape),
         smem(scene.boxes_smem.shape),
         smem(scene.cmeta_smem.shape),
         smem(scene.order_smem.shape),
         smem(scene.masks_smem.shape),
-        smem(scene.tribase_smem.shape),
+        smem((8,)),
         full(scene.nodes_vmem.shape),
         smem((UNI_SIZE,)),
         full((fold, C)) if raygen is not None
@@ -254,9 +260,14 @@ def packet_shade(
         else rays(3 * fold),
         full((fold, C)) if raygen is not None else rays(3 * fold),
     ]
+    # the fused kernel never tracks hit ids (track_which=False), so the
+    # per-leaf tribase table is dead weight — a dummy keeps the SMEM
+    # budget free (at 2M tris the real table is 1.13 MB, alone past the
+    # ~1 MB SMEM: the HBM-leaf tier depends on this)
     operands = [
         scene.leaves, scene.boxes_smem, scene.cmeta_smem,
-        scene.order_smem, scene.masks_smem, scene.tribase_smem,
+        scene.order_smem, scene.masks_smem,
+        jnp.zeros((8,), jnp.int32),
         scene.nodes_vmem, uni, Pt, Dt,
     ]
     if with_grads and raygen is None:
@@ -316,7 +327,10 @@ def packet_shade(
         # per-class hit-leaf meta queues (leaf_scan="queue")
         pltpu.SMEM((3 * 8 * pops,), jnp.int32),
     ]
-    table_bytes = 4 * 128 * (scene.leaves.shape[0] + scene.nodes_vmem.shape[0])
+    table_bytes = 4 * 128 * (
+        (0 if leaf_hbm else scene.leaves.shape[0])
+        + scene.nodes_vmem.shape[0]
+    )
     env_allow = 0
     if env_fuse is not None:
         from shader_ray_tpu.ops.pallas.envwin import WIN_LANES, WIN_ROWS

@@ -109,6 +109,9 @@ def packet_trace_wide(
         # a tree walk pops each wide node at most once
         max_steps = scene.n_wide + 2
 
+    if getattr(scene, "leaf_src", "vmem") == "hbm" and leaf_mode != "dma2":
+        # HBM-resident leaves are reachable only via the group DMA
+        leaf_mode = "dma2"
     pops = pops if pops is not None else _default_pops()
     # multi-pop advances up to ``pops`` disjoint branches at once, so
     # the short-stack worst case scales by pops
@@ -170,15 +173,23 @@ def packet_trace_wide(
         )
         out_shape.append(jax.ShapeDtypeStruct((8, n_tiles * 128), jnp.int32))
 
+    # HBM leaf tier: leaves stay in device memory (the dma2 group
+    # copies pull from HBM); scalar/dmastatic read leaves as vectors
+    # and need VMEM, so the tier forces dma2
+    leaf_hbm = getattr(scene, "leaf_src", "vmem") == "hbm"
     # the leaf/node tables can overflow the default 16 MB scoped-vmem
     # budget on large scenes; raise the cap to what they + rays need
-    table_bytes = 4 * 128 * (scene.leaves.shape[0] + scene.nodes_vmem.shape[0])
+    table_bytes = 4 * 128 * (
+        (0 if leaf_hbm else scene.leaves.shape[0])
+        + scene.nodes_vmem.shape[0]
+    )
     vmem_limit = min(table_bytes + (8 << 20), 120 << 20)
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            full(scene.leaves.shape),
+            pl.BlockSpec(memory_space=pl.ANY) if leaf_hbm
+            else full(scene.leaves.shape),
             smem(scene.boxes_smem.shape),
             smem(scene.cmeta_smem.shape),
             smem(scene.order_smem.shape),

@@ -416,3 +416,41 @@ def test_queue_leaf_scan_matches_ctz(bumpy, rng, node_src):
     np.testing.assert_array_equal(
         np.asarray(occ_a.t) < 1e7, np.asarray(occ_b.t) < 1e7
     )
+
+
+def test_hbm_leaf_tier_bit_identical():
+    """leaf_src="hbm" (million-triangle tier: the leaf table stays in
+    device memory and dma2 group copies pull from HBM) must render
+    bit-identically to the VMEM-resident table; incompatible leaf
+    modes coerce to dma2."""
+    import jax.numpy as jnp
+
+    from shader_ray_tpu.models.fixtures import procedural_sky, uv_sphere
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import get_shader_data, make_world
+    from shader_ray_tpu.ops.engine_pallas import render_frame_packet
+    from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+    from shader_ray_tpu.ops.render import RenderStatics, default_frame_params
+    from shader_ray_tpu.utils import mat4
+
+    pos, _ = uv_sphere(lat=8, lon=12)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    params = default_frame_params()._replace(
+        camera_matrix=jnp.asarray(
+            mat4.make_translation(0, 0, 3.0).astype(np.float32)
+        ),
+        diffuse_color=jnp.asarray(np.array([0.8, 0.3, 0.2], np.float32)),
+        specular_color=jnp.asarray(np.array([0.1, 0.1, 0.1], np.float32)),
+    )
+    st = RenderStatics(width=64, height=32)
+    outs = {}
+    for src in ("vmem", "hbm"):
+        packed = pack_scene_wide(
+            data, procedural_sky(256), env_size=(128, 256), leaf_src=src
+        )
+        assert packed.leaf_src == src
+        outs[src] = np.asarray(
+            render_frame_packet(packed, params, st, tile=1024,
+                                interpret=True)
+        )
+    np.testing.assert_array_equal(outs["hbm"], outs["vmem"])
