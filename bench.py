@@ -361,6 +361,7 @@ def main() -> None:
         _emit_backend_down(0, f"first frame failed even after a "
                               f"process re-exec retry: {e}")
     print(f"compile+first frame: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    _golden_gate(img)
     np.asarray(fsum(params))  # compile checksum program + warm
 
     times = []
@@ -453,6 +454,78 @@ def main() -> None:
             print(f"340k bench failed: {e}", file=sys.stderr)
     print(json.dumps(out))
     _record_last_good(out)
+
+
+def _golden_gate(img: np.ndarray) -> None:
+    """Correctness gate BEFORE the timed loop (VERDICT r4 weak #2 /
+    next #2): the driver-captured bench must never post a fast-but-
+    WRONG number (e.g. a tune or packing knob silently corrupting
+    output).  The first rendered frame — which already runs under the
+    tuned production config — is box-downsampled 4x and compared
+    against the committed golden (tests/golden/bench_which0.npy, made
+    by scripts/make_golden.py on the real chip), on the same 0-1-scale
+    tolerances make_golden --verify uses (measured on-chip drift:
+    mean err 2.2e-4).  On mismatch the bench aborts with a DISTINCT
+    error instead of timing the wrong frame.  Mirrors the reference's
+    own golden-image contract (README.md:3: bunny.jpg/bunny2.jpg).
+
+    Applies only to the canonical configuration the golden was
+    rendered at; BENCH_GOLDEN=0 disables (e.g. for perf experiments
+    with output-changing knobs)."""
+    if os.environ.get("BENCH_GOLDEN", "1") == "0":
+        print("golden gate: skipped (BENCH_GOLDEN=0)", file=sys.stderr)
+        return
+    canonical = (
+        WIDTH == 1024 and HEIGHT == 768
+        and int(os.environ.get("BENCH_TRIS", "69000")) == 69000
+        and int(os.environ.get("BENCH_WHICH", "0")) == 0
+        and os.environ.get("BENCH_SHADOWS", "1") != "0"
+        and int(os.environ.get("BENCH_BOUNCES", "3")) == 3
+    )
+    if not canonical:
+        print("golden gate: skipped (non-canonical bench config)",
+              file=sys.stderr)
+        return
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "bench_which0.npy",
+    )
+    try:
+        ref = np.load(path)
+    except Exception as e:
+        print(f"golden gate: skipped (golden unreadable: {e})",
+              file=sys.stderr)
+        return
+    down = 4
+    got = (
+        img.astype(np.float32)
+        .reshape(HEIGHT // down, down, WIDTH // down, down, 3)
+        .mean(axis=(1, 3))
+    )
+    if got.shape != ref.shape:
+        _emit_golden_fail(f"shape {got.shape} vs golden {ref.shape}")
+    err = np.abs(got - ref)
+    mean_err = float(err.mean())
+    off_share = float((err.max(axis=-1) > 0.02).mean())
+    line = f"mean err {mean_err:.5f}, off pixels (>0.02) {off_share:.4%}"
+    if mean_err > 0.005 or off_share > 0.01:
+        _emit_golden_fail(line)
+    print(f"golden gate: ok ({line})", file=sys.stderr)
+
+
+def _emit_golden_fail(detail: str) -> None:
+    """Distinct, loud failure: JSON error line + nonzero exit.  The
+    value is 0.0 so the round record reads as NO MEASUREMENT rather
+    than a perf number for a wrong frame."""
+    msg = (f"GOLDEN GATE FAILED: rendered frame does not match the "
+           f"committed golden ({detail}) — refusing to time a wrong "
+           f"frame; run scripts/make_golden.py --verify to diagnose")
+    print(f"golden gate: FAILED ({detail})", file=sys.stderr)
+    print(json.dumps({
+        "metric": "mrays_per_s", "value": 0.0, "unit": "Mrays/s",
+        "vs_baseline": 0.0, "error": msg,
+    }))
+    sys.exit(3)
 
 
 def _maybe_tune(renderer, statics, params, scene_key) -> None:

@@ -17,6 +17,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from shader_ray_tpu.ops.pallas.kernel_mega import UNI_SIZE, mega_kernel
+
+
+def _resolve_kernel_body():
+    """``SHADER``-analog escape hatch (ray.cpp:360-364: the reference
+    lets a ``SHADER`` env var point at an alternate fragment-shader
+    source file, swapping the device program without a rebuild).  The
+    jitted analog: ``SRT_KERNEL_MODULE`` names an importable Python
+    module whose ``mega_kernel`` attribute replaces the built-in fused
+    kernel body (same signature — see kernel_mega.mega_kernel).  Read
+    at TRACE time: frame fns cached by a Renderer before the variable
+    changed keep their original body (same as the reference, which
+    reads SHADER once at startup)."""
+    import importlib
+    import os
+
+    name = os.environ.get("SRT_KERNEL_MODULE")
+    if not name:
+        return mega_kernel
+    return getattr(importlib.import_module(name), "mega_kernel")
 from shader_ray_tpu.ops.pallas.pack_wide import PackedSceneWide
 from shader_ray_tpu.ops.pallas.packet import FOLD, MT_EPSILON, _fold, _unfold
 from shader_ray_tpu.ops.pallas.packet_wide import (
@@ -196,7 +215,7 @@ def packet_shade(
     stack_depth = scene.stack_depth * pops
 
     kernel = functools.partial(
-        mega_kernel,
+        _resolve_kernel_body(),
         n_wide=scene.n_wide,
         max_steps=max_steps,
         mt_eps=mt_eps,

@@ -107,3 +107,63 @@ def test_env_mode_env_base_flow_through_config(monkeypatch):
     cfg2.env_mode = "window"
     r2 = Renderer(data, env, config=cfg2, engine="packet")
     assert r2.packed.env_planes is not None
+
+
+def test_kernel_module_escape_hatch(monkeypatch, tmp_path):
+    """SRT_KERNEL_MODULE (the reference's SHADER env override analog,
+    ray.cpp:360-364): an importable module's ``mega_kernel`` replaces
+    the built-in fused kernel body at trace time."""
+    import numpy as np
+
+    from shader_ray_tpu.ops.pallas import kernel_mega, packet_mega
+
+    # default: unset resolves to the built-in body
+    monkeypatch.delenv("SRT_KERNEL_MODULE", raising=False)
+    assert packet_mega._resolve_kernel_body() is kernel_mega.mega_kernel
+
+    # custom module: a delegating wrapper that records its invocation
+    (tmp_path / "alt_shader.py").write_text(
+        "from shader_ray_tpu.ops.pallas.kernel_mega import mega_kernel"
+        " as _real\n"
+        "calls = []\n"
+        "def mega_kernel(*a, **k):\n"
+        "    calls.append(1)\n"
+        "    return _real(*a, **k)\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setenv("SRT_KERNEL_MODULE", "alt_shader")
+    import alt_shader
+
+    assert packet_mega._resolve_kernel_body() is alt_shader.mega_kernel
+
+    # functional: a minimal fused shade runs THROUGH the custom body
+    # and produces the built-in result (1 bounce, no shadows — the
+    # cheapest interpreted configuration)
+    import jax.numpy as jnp
+
+    from shader_ray_tpu.models.fixtures import procedural_sky, uv_sphere
+    from shader_ray_tpu.models.triangle_set import TriangleSet
+    from shader_ray_tpu.models.world import get_shader_data, make_world
+    from shader_ray_tpu.ops.engine_pallas import _pack_uniforms
+    from shader_ray_tpu.ops.pallas.pack_wide import pack_scene_wide
+    from shader_ray_tpu.ops.render import default_frame_params
+
+    pos, _ = uv_sphere(lat=4, lon=6)
+    data = get_shader_data(make_world(TriangleSet.from_arrays(pos)))
+    packed = pack_scene_wide(data, procedural_sky(32), env_size=(16, 32))
+    rng = np.random.default_rng(3)
+    P = (rng.normal(size=(1024, 3)) * 0.1 + [0, 0, 3]).astype(np.float32)
+    D = np.tile(np.array([0, 0, -1.0], np.float32), (1024, 1))
+    uni = _pack_uniforms(default_frame_params())
+    kw = dict(tile=1024, interpret=True, bounce_count=1,
+              cast_shadows=False)
+    got = packet_mega.packet_shade(
+        packed, jnp.asarray(P), jnp.asarray(D), None, None, uni, **kw
+    )
+    assert alt_shader.calls, "custom kernel body was never traced"
+    monkeypatch.delenv("SRT_KERNEL_MODULE")
+    ref = packet_mega.packet_shade(
+        packed, jnp.asarray(P), jnp.asarray(D), None, None, uni, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(got.acc), np.asarray(ref.acc))
+    np.testing.assert_array_equal(np.asarray(got.D), np.asarray(ref.D))
