@@ -66,6 +66,7 @@ def leaf_tests_smem(
     occlusion: bool = False,
     isect: str = "mt",
     track_which: bool = True,
+    tb_from_buf: bool = False,
 ):
     """Triangle tests over one leaf with record data read as SMEM
     scalars from the DMA'd leaf-group buffer ``buf`` (rows
@@ -75,6 +76,11 @@ def leaf_tests_smem(
     always pays all 10 slots; the average leaf holds ~7)."""
     record, _ = leaf_layout(isect)
     cbase = sub * record
+    if tb_from_buf and track_which:
+        # HBM leaf tier: the tribase rides in the group's spare lane
+        # (pack.TB_LANE), read back from the DMA'd SMEM buffer — the
+        # SMEM tribase table would overflow at ~2M triangles
+        tbase = _tb_from_buf(buf, w, sub)
 
     def slot(k, st):
         t, which, nx, ny, nz = st
@@ -99,12 +105,21 @@ def leaf_tests_smem(
     return t, which, nx, ny, nz
 
 
+def _tb_from_buf(buf, w, sub):
+    """Leaf tribase from the DMA'd group buffer's spare lane (exact:
+    f32 holds indices below 2^24; pack_scene_wide asserts the bound)."""
+    from shader_ray_tpu.ops.pallas.pack import TB_LANE
+
+    return buf[w * GROUP_ROWS + sub, TB_LANE].astype(jnp.int32)
+
+
 def leaf_tests_smem_static(
     buf, w, r, sub, tbase, lcount, gate, t, which, nx, ny, nz, mt_eps,
     leaf_slots: int = 10,
     occlusion: bool = False,
     isect: str = "mt",
     track_which: bool = True,
+    tb_from_buf: bool = False,
 ):
     """Static-unroll triangle tests over the DMA'd leaf-group buffer:
     SMEM scalar loads splat for free (a VMEM record extract costs ~3
@@ -115,6 +130,8 @@ def leaf_tests_smem_static(
     rejects (no count mask needed)."""
     record, _ = leaf_layout(isect)
     cbase = sub * record
+    if tb_from_buf and track_which:
+        tbase = _tb_from_buf(buf, w, sub)
     for k in range(leaf_slots):
         e = lambda c: buf[w * GROUP_ROWS + k, cbase + c]
         ok, d, u, v = slot_hit(e, r, t, 0.0, INFINITELY_FAR, mt_eps, isect)
@@ -169,6 +186,10 @@ def make_wide_walker(
     isect: str = "mt",       # leaf intersector/record format (pack.leaf_layout)
     track_which: bool = True,  # False: caller ignores hit ids (fused
                              # shading) — saves a select per leaf slot
+    leaf_src: str = "vmem",  # "hbm": the leaf table lives in device
+                             # memory AND the SMEM tribase table is a
+                             # dummy — hit ids come from the group
+                             # buffer's spare lane (pack.TB_LANE)
     leaf_scan: str = "ctz",  # hit-leaf iteration: "ctz" bit-scans the
                              # leaf mask per visit; "queue" enqueues
                              # hit-leaf metas to SMEM during the push
@@ -188,6 +209,10 @@ def make_wide_walker(
     SD = stack_depth
     ox, oy, oz, sx, sy, sz = box_quant
     assert pops in (1, 2, 4)
+    # HBM leaf tier + hit-id tracking: tribase comes from the DMA'd
+    # group buffer (leaf_mode is forced to dma2 there), never from the
+    # (dummy) SMEM table
+    tb_buf = track_which and leaf_src == "hbm"
 
     def node_group_dma(w, j, sp):
         """DMA descriptor for the 8-node VMEM group of the j-th-from-
@@ -372,7 +397,7 @@ def make_wide_walker(
                     meta = cmeta_ref[g_sel * WIDE + ck]
                 cnt = (meta >> 26) & 0x1F
                 lrow = meta & 0x3FFFFFF
-                if track_which:
+                if track_which and not tb_buf:
                     # on lb == 0 (dma2 peeks head_meta UNGATED) the
                     # saturated ctz can land on an INTERNAL child whose
                     # decoded low bits are a wide-node id larger than
@@ -383,6 +408,8 @@ def make_wide_walker(
                         jnp.minimum(lrow, tribase_ref.shape[0] - 1)
                     ]
                 else:
+                    # tb_buf: the id comes from the group buffer inside
+                    # leaf_tests_smem_static (tb_from_buf)
                     tb = jnp.int32(0)
                 return p, cnt, lrow, tb
 
@@ -410,7 +437,7 @@ def make_wide_walker(
                 )
 
             def tb_of(lrow):
-                if not track_which:
+                if not track_which or tb_buf:
                     return jnp.int32(0)
                 return tribase_ref[
                     jnp.minimum(lrow, tribase_ref.shape[0] - 1)
@@ -458,6 +485,7 @@ def make_wide_walker(
                             occlusion=any_hit,
                             isect=isect,
                             track_which=track_which,
+                            tb_from_buf=tb_buf,
                         )
                         return (qi - 1, nlrow, ncnt, ntb, 1 - par, hasn,
                                 leafs_ + 1, t_, which_, nx_, ny_, nz_)
@@ -488,6 +516,7 @@ def make_wide_walker(
                                 occlusion=any_hit,
                                 isect=isect,
                                 track_which=track_which,
+                                tb_from_buf=tb_buf,
                             )
                         else:
                             t_, which_, nx_, ny_, nz_ = leaf_tests_smem(
@@ -496,6 +525,7 @@ def make_wide_walker(
                                 occlusion=any_hit,
                                 isect=isect,
                                 track_which=track_which,
+                                tb_from_buf=tb_buf,
                             )
                     else:
                         t_, which_, nx_, ny_, nz_ = leaf_tests(
@@ -535,6 +565,7 @@ def make_wide_walker(
                                 occlusion=any_hit,
                                 isect=isect,
                                 track_which=track_which,
+                                tb_from_buf=tb_buf,
                             )
                         else:
                             t_, which_, nx_, ny_, nz_ = leaf_tests_smem(
@@ -543,6 +574,7 @@ def make_wide_walker(
                                 occlusion=any_hit,
                                 isect=isect,
                                 track_which=track_which,
+                                tb_from_buf=tb_buf,
                             )
                     else:
                         t_, which_, nx_, ny_, nz_ = leaf_tests(
@@ -584,6 +616,7 @@ def make_wide_walker(
                         occlusion=any_hit,
                         isect=isect,
                         track_which=track_which,
+                        tb_from_buf=tb_buf,
                     )
                     return (
                         jnp.where(hasn, lb & ~(1 << pn), lb),
@@ -779,6 +812,7 @@ def wide_kernel(
     node_src: str = "smem",
     pops: int = 1,
     isect: str = "mt",
+    leaf_src: str = "vmem",
     leaf_scan: str = "ctz",
 ):
     i32 = jnp.int32
@@ -801,7 +835,8 @@ def wide_kernel(
         n_wide=n_wide, max_steps=max_steps, mt_eps=mt_eps, fold=F,
         walks=W, lane_width=CW, stack_depth=stack_depth,
         box_quant=box_quant, leaf_mode=leaf_mode, leaf_slots=leaf_slots,
-        node_src=node_src, pops=pops, isect=isect, leaf_scan=leaf_scan,
+        node_src=node_src, pops=pops, isect=isect, leaf_src=leaf_src,
+        leaf_scan=leaf_scan,
     )
     states = walker(rays, any_hit=any_hit)
 

@@ -46,6 +46,9 @@ import numpy as np
 from shader_ray_tpu.models.world import SceneData
 
 LANES = 128
+TB_LANE = 126  # spare lane carrying the leaf's tribase as f32 (exact
+               # below 2^24 triangles) — the HBM leaf tier's hit-id
+               # source (see pack_leaf_groups)
 LEAF_SLOTS = 10
 LEAF_RECORD = 18      # lanes per "mt" leaf record (9 pos + 9 nrm)
 LEAVES_PER_GROUP = 7  # "mt" leaf records across 126 of 128 lanes
@@ -198,6 +201,16 @@ def pack_leaf_groups(
 
     tribase = np.zeros(L, np.int32)
     tribase[: len(leaf_ids)] = data.node_objects[leaf_ids, 0]
+    # stamp each leaf's tribase into the spare lane TB_LANE of its
+    # slot row ``sub`` (both record formats use 126 of 128 lanes, so
+    # lanes 126-127 ride along for free): the HBM leaf tier reads it
+    # back from the DMA'd group buffer instead of the SMEM tribase
+    # table that overflows at ~2M triangles (VERDICT r4 #4).  An f32
+    # lane holds triangle indices exactly below 2^24 (~16.7M tris);
+    # pack_scene_wide asserts that bound for the hbm tier.
+    for row in range(L if len(leaf_ids) else 0):
+        grp, sub = divmod(row, per_group)
+        leaves[grp * GROUP_ROWS + sub, TB_LANE] = float(tribase[row])
     return leaves, tribase, leaf_row_of, counts, L
 
 

@@ -444,6 +444,15 @@ def pack_scene_wide(
         leaf_src = "vmem" if 4 * 128 * leaves.shape[0] < (64 << 20) \
             else "hbm"
     assert leaf_src in ("vmem", "hbm"), leaf_src
+    if leaf_src == "hbm":
+        # hit-id tracking on the hbm tier reads the tribase back from
+        # the leaf group's spare f32 lane (pack.TB_LANE) — exact only
+        # below the f32 integer range
+        assert data.triangle_count < (1 << 24), (
+            "hbm leaf tier tracks hit ids via an f32 lane; "
+            f"{data.triangle_count} triangles exceeds the exact 2^24 "
+            "range (use leaf_src='vmem' or shrink the scene)"
+        )
 
     to_u32 = lambda a: a.astype(np.uint32).view(np.int32)
     as_i32 = lambda a: jnp.asarray(

@@ -109,7 +109,8 @@ def packet_trace_wide(
         # a tree walk pops each wide node at most once
         max_steps = scene.n_wide + 2
 
-    if getattr(scene, "leaf_src", "vmem") == "hbm" and leaf_mode != "dma2":
+    leaf_hbm = getattr(scene, "leaf_src", "vmem") == "hbm"
+    if leaf_hbm and leaf_mode != "dma2":
         # HBM-resident leaves are reachable only via the group DMA
         leaf_mode = "dma2"
     pops = pops if pops is not None else _default_pops()
@@ -143,6 +144,7 @@ def packet_trace_wide(
         node_src=scene.node_src,
         pops=pops,
         isect=scene.isect,
+        leaf_src="hbm" if leaf_hbm else "vmem",
         leaf_scan=(
             leaf_scan
             if leaf_scan is not None
@@ -174,9 +176,12 @@ def packet_trace_wide(
         out_shape.append(jax.ShapeDtypeStruct((8, n_tiles * 128), jnp.int32))
 
     # HBM leaf tier: leaves stay in device memory (the dma2 group
-    # copies pull from HBM); scalar/dmastatic read leaves as vectors
-    # and need VMEM, so the tier forces dma2
-    leaf_hbm = getattr(scene, "leaf_src", "vmem") == "hbm"
+    # copies pull from HBM; leaf_hbm resolved above).  The SMEM tribase
+    # table goes DUMMY there — it overflows SMEM at ~2M tris — and hit
+    # ids come from the group buffer's spare lane instead
+    # (kernel tb_from_buf; VERDICT r4 #4).
+    tribase_op = (jnp.zeros((8,), jnp.int32) if leaf_hbm
+                  else scene.tribase_smem)
     # the leaf/node tables can overflow the default 16 MB scoped-vmem
     # budget on large scenes; raise the cap to what they + rays need
     table_bytes = 4 * 128 * (
@@ -194,7 +199,7 @@ def packet_trace_wide(
             smem(scene.cmeta_smem.shape),
             smem(scene.order_smem.shape),
             smem(scene.masks_smem.shape),
-            smem(scene.tribase_smem.shape),
+            smem(tribase_op.shape),
             full(scene.nodes_vmem.shape),
             rays(3 * fold),
             rays(3 * fold),
@@ -216,7 +221,7 @@ def packet_trace_wide(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(scene.leaves, scene.boxes_smem, scene.cmeta_smem, scene.order_smem,
-      scene.masks_smem, scene.tribase_smem, scene.nodes_vmem, Pt, Dt, actt)
+      scene.masks_smem, tribase_op, scene.nodes_vmem, Pt, Dt, actt)
     t, which, n, bad = outs[:4]
     stats = outs[4] if with_stats else None
 

@@ -444,13 +444,30 @@ def test_hbm_leaf_tier_bit_identical():
     )
     st = RenderStatics(width=64, height=32)
     outs = {}
+    packs = {}
     for src in ("vmem", "hbm"):
         packed = pack_scene_wide(
             data, procedural_sky(256), env_size=(128, 256), leaf_src=src
         )
         assert packed.leaf_src == src
+        packs[src] = packed
         outs[src] = np.asarray(
             render_frame_packet(packed, params, st, tile=1024,
                                 interpret=True)
         )
     np.testing.assert_array_equal(outs["hbm"], outs["vmem"])
+
+    # hit-id tracking on the hbm tier (VERDICT r4 #4): the tribase now
+    # rides in the leaf group's spare lane, so the UNFUSED trace —
+    # which returns per-ray triangle ids — must match the vmem tier
+    # bit-exactly (no SMEM tribase table exists on the hbm path)
+    rng = np.random.default_rng(11)
+    P = (rng.normal(size=(512, 3)) * 0.1 + [0, 0, 3]).astype(np.float32)
+    D = ([0, 0, -1.0] + 0.3 * rng.normal(size=(512, 3))).astype(np.float32)
+    ga = packet_trace_wide(packs["vmem"], jnp.asarray(P), jnp.asarray(D),
+                           tile=1024, interpret=True)
+    gb = packet_trace_wide(packs["hbm"], jnp.asarray(P), jnp.asarray(D),
+                           tile=1024, interpret=True)
+    assert (np.asarray(ga.which) >= 0).any()
+    np.testing.assert_array_equal(np.asarray(ga.t), np.asarray(gb.t))
+    np.testing.assert_array_equal(np.asarray(ga.which), np.asarray(gb.which))

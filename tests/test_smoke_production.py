@@ -116,6 +116,28 @@ def test_smoke_wide_walker_vs_oracle(tiny, rng):
     assert not np.asarray(got.bad).any()
 
 
+def test_smoke_hbm_leaf_tier_hit_ids(tiny, rng):
+    """The million-triangle HBM leaf tier tracks hit triangle ids
+    (tribase from the leaf group's spare lane, not the SMEM table that
+    overflows at ~2M tris — VERDICT r4 #4): unfused trace ids match
+    the vmem tier bit-exactly."""
+    data, _, packed_vmem = tiny
+    packed_hbm = pack_scene_wide(data, procedural_sky(128),
+                                 env_size=(64, 128), leaf_src="hbm")
+    assert packed_hbm.leaf_src == "hbm"
+    R = 256
+    P = (rng.normal(size=(R, 3)) * 0.1 + [0, 0, 3]).astype(np.float32)
+    D = ([0, 0, -1.0] + 0.3 * rng.normal(size=(R, 3))).astype(np.float32)
+    ga = packet_trace_wide(packed_vmem, jnp.asarray(P), jnp.asarray(D),
+                           tile=1024, interpret=True)
+    gb = packet_trace_wide(packed_hbm, jnp.asarray(P), jnp.asarray(D),
+                           tile=1024, interpret=True)
+    assert (np.asarray(ga.which) >= 0).any()
+    np.testing.assert_array_equal(np.asarray(ga.t), np.asarray(gb.t))
+    np.testing.assert_array_equal(np.asarray(ga.which),
+                                  np.asarray(gb.which))
+
+
 def test_smoke_mesh_three_bounce(tiny, params, statics, fused_solo):
     """bounce_count=3 sharded parity (VERDICT r4 weak #4): the fused
     megakernel over a 2-device ("rays",) mesh matches the single-device
