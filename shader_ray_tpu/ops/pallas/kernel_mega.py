@@ -401,6 +401,7 @@ def mega_kernel(
             er = jnp.abs(dudy) * 100.0
             eg = jnp.abs(dvdy) * 100.0
             eb = jnp.zeros((F, C), f32)
+            env_lvl = jnp.int32(0)
         else:
             uvc, vvc = env_coords_kernel(Dx, Dy, Dz)
             if which == 1:
@@ -444,14 +445,14 @@ def mega_kernel(
                     jnp.log2(jnp.maximum(rho_eff, 1e-12)),
                     0.0, float(n_levels - 1),
                 )
-                er, eg, eb, _ = env_window_body(
+                er, eg, eb, env_lvl = env_window_body(
                     planes_ref, eoff_ref, eh_ref, ew_ref, eblk_ref,
                     win_ref, esems_ref, uvc, vvc,
                     n_levels=n_levels, fold=F, lanes=C,
                     lod=lod, probes=probes,
                 )
             else:
-                er, eg, eb, _ = env_window_body(
+                er, eg, eb, env_lvl = env_window_body(
                     planes_ref, eoff_ref, eh_ref, ew_ref, eblk_ref,
                     win_ref, esems_ref, uvc, vvc,
                     n_levels=n_levels, fold=F, lanes=C,
@@ -497,4 +498,12 @@ def mega_kernel(
     for p, (steps, leafs) in enumerate(phase_stats):
         cnt = jnp.where((ri == 0) & (ci == 1 + 2 * p), steps, cnt)
         cnt = jnp.where((ri == 0) & (ci == 2 + 2 * p), leafs, cnt)
+    if envfuse is not None:
+        # observability: the tile's env window levels (lvl_a + 16*lvl_b,
+        # envwin.env_window_body) in the lane after the phase stats —
+        # lets sampler-fallback behavior be compared against the
+        # standalone sampler's with_levels output without extra outputs
+        cnt = jnp.where(
+            (ri == 0) & (ci == 1 + 2 * len(phase_stats)), env_lvl, cnt
+        )
     cnt_ref[:, :] = cnt

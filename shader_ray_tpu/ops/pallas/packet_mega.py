@@ -380,7 +380,9 @@ def packet_shade(
     n_phases_ = len(stats_phases(bounce_count, cast_shadows, enable_diffuse))
     if env_fuse is not None:
         cs, cnt = outs
-        per_tile = cnt[0].reshape(n_tiles, 128)[:, : 1 + 2 * n_phases_]
+        # one extra column: the tile's env window levels (kernel_mega
+        # stats lane 1 + 2*n_phases; lvl_a + 16*lvl_b)
+        per_tile = cnt[0].reshape(n_tiles, 128)[:, : 2 + 2 * n_phases_]
         return ShadeResult(
             acc=None, mod=None, D=None, gx=None, gy=None, bad=None,
             cast=jnp.sum(per_tile[:, 0]), stats=per_tile, colorsum=cs,

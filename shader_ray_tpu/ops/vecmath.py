@@ -7,6 +7,7 @@ of reference vectormath.h's vec3 ops.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -35,10 +36,21 @@ def reflect(d: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
 
 def transform_point(m: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """(4,4) matrix times (..., 3) points with w=1 (GLSL m * vec4(p,1))."""
-    return p @ m[:3, :3].T + m[:3, 3]
+    """(4,4) matrix times (..., 3) points with w=1 (GLSL m * vec4(p,1)).
+
+    Precision.HIGHEST: XLA's TPU default feeds matmuls to the MXU with
+    bf16 inputs, which put ~4.5e-4 rad (~0.66 px at the bench FOV) of
+    warp on every XLA-path ray direction — measured on-chip vs f64
+    host math (round 13).  Geometry transforms are tiny (..,3)x(3,3)
+    contractions, so full-f32 costs nothing and restores exact parity
+    with the in-kernel raygen (2.2e-5 rad)."""
+    return (
+        jnp.matmul(p, m[:3, :3].T, precision=lax.Precision.HIGHEST)
+        + m[:3, 3]
+    )
 
 
 def transform_dir(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """(4,4) matrix times (..., 3) directions with w=0."""
-    return v @ m[:3, :3].T
+    """(4,4) matrix times (..., 3) directions with w=0 (full f32 —
+    see transform_point)."""
+    return jnp.matmul(v, m[:3, :3].T, precision=lax.Precision.HIGHEST)
