@@ -335,6 +335,10 @@ def main() -> None:
     # headline then measures the tuned knobs.
     _maybe_tune(renderer, statics, params, scene_key)
 
+    # kick the table upload NOW so it streams while the frame kernel
+    # compiles remotely (VERDICT r4 #7 cold-start overlap)
+    prewarm = _start_upload_prewarm(renderer)
+
     fn = renderer.make_fn(statics)
     # device-side checksum: fences the frame without fetching it (the
     # scene threads through as a jit argument — see make_checksum_fn)
@@ -361,6 +365,8 @@ def main() -> None:
         _emit_backend_down(0, f"first frame failed even after a "
                               f"process re-exec retry: {e}")
     print(f"compile+first frame: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    if prewarm is not None:
+        prewarm.join()  # its fetch is its fence; frame already landed
     _golden_gate(img)
     np.asarray(fsum(params))  # compile checksum program + warm
 
@@ -454,6 +460,54 @@ def main() -> None:
             print(f"340k bench failed: {e}", file=sys.stderr)
     print(json.dumps(out))
     _record_last_good(out)
+
+
+def _start_upload_prewarm(renderer):
+    """Overlap the scene-table H2D upload with the first frame's remote
+    compile (VERDICT r4 #7: a congested cold start serialized compile
+    -> upload -> first frame).  A daemon thread dispatches ONE tiny
+    checksum program over every device table of the packed scene (a
+    single compile, persisted in the committed stable cache like every
+    other program) and fetches its scalar — the only honest transfer
+    fence on axon.  While the main thread blocks in the frame kernel's
+    remote compile (GIL released in the RPC), the thread's dispatch
+    streams the ~125 MB of tables through the tunnel, so the first
+    frame finds them resident.  BENCH_OVERLAP_UPLOAD=0 disables.
+
+    The thread is never joined with a deadline that would abandon an
+    in-flight dispatch (the axon tunnel-wedge pattern): main() joins it
+    before timing starts, and its own fetch IS its fence."""
+    if os.environ.get("BENCH_OVERLAP_UPLOAD", "1") == "0":
+        return None
+    if getattr(renderer, "packed", None) is None:
+        return None
+    import threading
+
+    def work():
+        try:
+            import time as _t
+
+            t0 = _t.perf_counter()
+            import jax
+            import jax.numpy as jnp
+
+            @jax.jit
+            def _touch(p):
+                leaves = [x for x in jax.tree_util.tree_leaves(p)
+                          if hasattr(x, "dtype")]
+                return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+            val = float(np.asarray(_touch(renderer.packed)))
+            print(f"upload prewarm: tables resident in "
+                  f"{_t.perf_counter() - t0:.1f}s (checksum {val:.3g})",
+                  file=sys.stderr)
+        except Exception as e:  # prewarm must never sink the benchmark
+            print(f"upload prewarm failed (continuing): {e}",
+                  file=sys.stderr)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    return t
 
 
 def _golden_gate(img: np.ndarray) -> None:
