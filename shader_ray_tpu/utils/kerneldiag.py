@@ -73,6 +73,13 @@ _HINTS = [
     ("mosaic", "Mosaic lowering rejected the kernel: the knob "
                "combination produced an unsupported op/layout — see "
                "CLAUDE.md 'Mosaic lowering gotchas'"),
+    ("worker process crashed", "the TPU worker killed a long-running "
+     "dispatch (measured round 13: ~38 s of device time survives, "
+     "~150 s crashes; million-triangle hbm-leaf progressive batches "
+     "cross the line — at 2M tris use jitter_pack<=128 and prog "
+     "batches <=256, measured stable at 147 ms/frame; wider tiles' "
+     "per-superframe walks also exceed it).  The tunnel needs "
+     "minutes to recover; re-probe jax.devices() in a fresh process"),
     ("unavailable", "backend unavailable: the TPU tunnel is down; "
                     "retry jax.devices() in a fresh process"),
 ]
